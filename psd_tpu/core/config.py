@@ -1,0 +1,276 @@
+"""Typed configuration system.
+
+Loads the same YAML schema the reference uses (`configs/train_ip.yaml` in
+umutdundar99/progressive-stable-diffusion — see SURVEY.md §5 "Config / flag
+system") into frozen dataclasses, with dotted-path CLI overrides replacing
+Hydra/OmegaConf. Unknown keys are preserved in `extras` rather than rejected
+so reference configs load unchanged.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass, field
+from pathlib import Path
+from typing import Any, Dict, List, Optional, Tuple
+
+import re
+
+import yaml
+
+
+class _SciFloatLoader(yaml.SafeLoader):
+    """SafeLoader that also reads `1e-4`-style floats (YAML 1.1 gap)."""
+
+
+_SciFloatLoader.add_implicit_resolver(
+    "tag:yaml.org,2002:float",
+    re.compile(
+        r"""^(?:[-+]?(?:[0-9][0-9_]*)\.[0-9_]*(?:[eE][-+]?[0-9]+)?
+        |[-+]?(?:[0-9][0-9_]*)(?:[eE][-+]?[0-9]+)
+        |\.[0-9_]+(?:[eE][-+][0-9]+)?
+        |[-+]?\.(?:inf|Inf|INF)
+        |\.(?:nan|NaN|NAN))$""",
+        re.X,
+    ),
+    list("-+0123456789."),
+)
+
+
+def _yaml_load(stream):
+    return yaml.load(stream, Loader=_SciFloatLoader)
+
+
+def _filter_kwargs(cls, d: Dict[str, Any]) -> Tuple[Dict[str, Any], Dict[str, Any]]:
+    names = {f.name for f in dataclasses.fields(cls)}
+    known = {k: v for k, v in d.items() if k in names and k != "extras"}
+    extras = {k: v for k, v in d.items() if k not in names}
+    return known, extras
+
+
+@dataclass
+class OrdinalEmbedderConfig:
+    """Reference: configs/train_ip.yaml `model.ordinal_embedder`."""
+
+    type: str = "aoe"  # "aoe" | "boe"
+    num_classes: int = 4
+    interpolation_steps: int = 101
+    delta_scale: float = 0.05  # AOE delta init mean (reference `aoe.delta_scale`)
+    init_std: float = 0.02
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "OrdinalEmbedderConfig":
+        d = dict(d)
+        aoe = d.pop("aoe", {}) or {}
+        if "delta_scale" in aoe:
+            d["delta_scale"] = aoe["delta_scale"]
+        known, extras = _filter_kwargs(cls, d)
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class ModelConfig:
+    """Reference: configs/train_ip.yaml `model.*` (SURVEY.md §2 inventory)."""
+
+    name: str = "ordinal_progressive_sd_ip"
+    embedding_dim: int = 768
+    conditioning_dim: int = 768
+    base_channels: int = 320
+    num_res_blocks: List[int] = field(default_factory=lambda: [2, 2, 2, 2])
+    attention_heads: int = 8
+    cfg_drop_prob: float = 0.0
+    latent_channels: int = 4
+    use_pretrained_vae: bool = True
+    pretrained_vae_path: str = "CompVis/stable-diffusion-v1-4"
+    pretrained_unet_path: str = "CompVis/stable-diffusion-v1-4"
+    image_encoder_path: str = "openai/clip-vit-large-patch14"
+    num_image_tokens: int = 16
+    num_aoe_tokens: int = 16
+    use_image_projection_plus: bool = True
+    use_frequency_strategy: bool = True
+    use_routing_gates: bool = True
+    use_feature_purifier: bool = True
+    gate_init_anatomy: Tuple[float, float] = (0.5, 0.5)
+    gate_init_disease: Tuple[float, float] = (0.5, 0.5)
+    purifier_num_heads: int = 8
+    purifier_ff_mult: int = 2
+    delta_scale: float = 0.0
+    ordinal_embedder: OrdinalEmbedderConfig = field(default_factory=OrdinalEmbedderConfig)
+    # TPU-native knobs (no reference counterpart)
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "ModelConfig":
+        d = dict(d)
+        emb = d.pop("ordinal_embedder", {}) or {}
+        known, extras = _filter_kwargs(cls, d)
+        for key in ("gate_init_anatomy", "gate_init_disease", "block_out_channels"):
+            if key in known and known[key] is not None:
+                known[key] = tuple(known[key])
+        return cls(
+            **known,
+            ordinal_embedder=OrdinalEmbedderConfig.from_dict(emb),
+            extras=extras,
+        )
+
+
+@dataclass
+class OptimizerConfig:
+    name: str = "adamw"
+    lr: float = 1e-4
+    weight_decay: float = 0.001
+    betas: Tuple[float, float] = (0.9, 0.999)
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "OptimizerConfig":
+        known, extras = _filter_kwargs(cls, dict(d))
+        if "betas" in known:
+            known["betas"] = tuple(known["betas"])
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class SchedulerConfig:
+    name: str = "cosine"
+    warmup_epochs: int = 2
+    max_epochs: int = 100
+    min_lr: float = 1e-6
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "SchedulerConfig":
+        known, extras = _filter_kwargs(cls, dict(d))
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class DataConfig:
+    dataset_path: str = "dataset"
+    batch_size: int = 64
+    num_workers: int = 8
+    image_size: int = 256
+    num_classes: int = 4
+    sampler: str = "class_balanced"
+    return_structure_images: bool = True
+    augmentation: Dict[str, Any] = field(
+        default_factory=lambda: {
+            "flip": True,
+            "rotation": 5,
+            "center_crop": 224,
+            "perspective": 0.2,
+        }
+    )
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DataConfig":
+        known, extras = _filter_kwargs(cls, dict(d))
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class TrainingConfig:
+    max_epochs: int = 150
+    log_every_n_steps: int = 50
+    gradient_clip_val: float = 1.0
+    accumulate_grad_batches: int = 1
+    precision: str = "bf16-mixed"  # TPU default; reference uses "16-mixed"
+    devices: int = 1
+    strategy: str = "auto"  # "auto" | "dp" | "fsdp"
+    seed: int = 42
+    ema_decay: float = 0.999
+    update_starting_at_step: int = 100
+    update_every_n_steps: int = 4
+    use_min_snr_weighting: bool = True
+    gradient_checkpointing: bool = True
+    resume_checkpoint: Optional[str] = None
+    input_perturbation: float = 0.0
+    noise_offset: float = 0.0
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "TrainingConfig":
+        known, extras = _filter_kwargs(cls, dict(d))
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class DiffusionConfig:
+    noise_schedule: str = "linear"
+    beta_start: float = 0.00085
+    beta_end: float = 0.012
+    num_train_timesteps: int = 1000
+    sampling_steps: int = 50
+    guidance_scale: float = 1.0
+    min_snr_gamma: float = 1.0
+    ema_update_interval: int = 1
+    latent_scale: float = 0.18215
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "DiffusionConfig":
+        known, extras = _filter_kwargs(cls, dict(d))
+        return cls(**known, extras=extras)
+
+
+@dataclass
+class Config:
+    model: ModelConfig = field(default_factory=ModelConfig)
+    optimizer: OptimizerConfig = field(default_factory=OptimizerConfig)
+    scheduler: SchedulerConfig = field(default_factory=SchedulerConfig)
+    dataset: DataConfig = field(default_factory=DataConfig)
+    training: TrainingConfig = field(default_factory=TrainingConfig)
+    diffusion: DiffusionConfig = field(default_factory=DiffusionConfig)
+    wandb: Dict[str, Any] = field(default_factory=dict)
+    extras: Dict[str, Any] = field(default_factory=dict)
+
+    @classmethod
+    def from_dict(cls, d: Dict[str, Any]) -> "Config":
+        d = dict(d)
+        d.pop("defaults", None)
+        d.pop("hydra", None)
+        return cls(
+            model=ModelConfig.from_dict(d.pop("model", {}) or {}),
+            optimizer=OptimizerConfig.from_dict(d.pop("optimizer", {}) or {}),
+            scheduler=SchedulerConfig.from_dict(d.pop("scheduler", {}) or {}),
+            dataset=DataConfig.from_dict(d.pop("dataset", {}) or {}),
+            training=TrainingConfig.from_dict(d.pop("training", {}) or {}),
+            diffusion=DiffusionConfig.from_dict(d.pop("diffusion", {}) or {}),
+            wandb=d.pop("wandb", {}) or {},
+            extras=d,
+        )
+
+
+def _parse_override_value(raw: str) -> Any:
+    try:
+        return _yaml_load(raw)
+    except yaml.YAMLError:
+        return raw
+
+
+def apply_overrides(tree: Dict[str, Any], overrides: List[str]) -> Dict[str, Any]:
+    """Apply `a.b.c=value` dotted overrides (Hydra-style CLI compatibility)."""
+    for item in overrides:
+        if "=" not in item:
+            raise ValueError(f"Override must look like key.path=value, got: {item!r}")
+        path, raw = item.split("=", 1)
+        keys = path.strip().split(".")
+        node = tree
+        for k in keys[:-1]:
+            node = node.setdefault(k, {})
+            if not isinstance(node, dict):
+                raise ValueError(f"Cannot override through non-dict node at {k} in {path}")
+        node[keys[-1]] = _parse_override_value(raw)
+    return tree
+
+
+def load_config(path: str | Path, overrides: Optional[List[str]] = None) -> Config:
+    """Load a reference-format YAML config with optional dotted overrides."""
+    with open(path) as f:
+        tree = _yaml_load(f) or {}
+    if overrides:
+        tree = apply_overrides(tree, list(overrides))
+    return Config.from_dict(tree)

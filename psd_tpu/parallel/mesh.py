@@ -1,0 +1,95 @@
+"""Device-mesh + sharding utilities.
+
+The reference's only distributed mode is Lightning DDP over NCCL
+(training_pipeline_ip.py:111-113). The TPU-native equivalent expresses
+data parallelism (and optional FSDP-style parameter sharding) through a
+`jax.sharding.Mesh` with XLA inserting all-reduce/all-gather collectives
+over ICI — no hand-written communication layer (SURVEY.md §2.2).
+
+Axes:
+  dp    — data parallel: batch is split, gradients all-reduced by XLA.
+  fsdp  — optional ZeRO-style axis: parameters/optimizer state sharded on
+          their largest dim, all-gathered on use.
+  tp    — tensor parallel axis reserved for attention-head / channel
+          sharding of the UNet at large batch (not required for parity).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import Optional, Sequence
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+@dataclass(frozen=True)
+class MeshConfig:
+    dp: int = -1  # -1 → all remaining devices
+    fsdp: int = 1
+    tp: int = 1
+
+    def resolve(self, n_devices: int) -> "MeshConfig":
+        dp = self.dp
+        if dp == -1:
+            dp = n_devices // (self.fsdp * self.tp)
+        assert dp * self.fsdp * self.tp == n_devices, (
+            f"mesh {dp}x{self.fsdp}x{self.tp} != {n_devices} devices"
+        )
+        return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp)
+
+
+def create_mesh(
+    cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None
+) -> Mesh:
+    devices = list(devices if devices is not None else jax.devices())
+    cfg = (cfg or MeshConfig()).resolve(len(devices))
+    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
+    return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
+
+
+def batch_sharding(mesh: Mesh) -> NamedSharding:
+    """Shard the leading (batch) dim over dp (and fsdp if >1)."""
+    if mesh.shape.get("fsdp", 1) > 1:
+        return NamedSharding(mesh, P(("dp", "fsdp")))
+    return NamedSharding(mesh, P("dp"))
+
+
+def replicated(mesh: Mesh) -> NamedSharding:
+    return NamedSharding(mesh, P())
+
+
+def shard_batch(mesh: Mesh, batch):
+    """Device-put a host batch with the leading dim split across dp."""
+    sharding = batch_sharding(mesh)
+
+    def _put(x):
+        spec = P(*([sharding.spec[0]] + [None] * (x.ndim - 1)))
+        return jax.device_put(x, NamedSharding(mesh, spec))
+
+    return jax.tree_util.tree_map(_put, batch)
+
+
+def fsdp_param_spec(path_leaf_shape, mesh: Mesh) -> P:
+    """Shard a parameter's largest divisible dim over fsdp, else replicate."""
+    shape = path_leaf_shape
+    n = mesh.shape.get("fsdp", 1)
+    if n <= 1:
+        return P()
+    for axis in sorted(range(len(shape)), key=lambda a: -shape[a]):
+        if shape[axis] % n == 0 and shape[axis] >= 2 * n:
+            spec = [None] * len(shape)
+            spec[axis] = "fsdp"
+            return P(*spec)
+    return P()
+
+
+def shard_params(params, mesh: Mesh):
+    """Apply fsdp_param_spec to every leaf of a parameter pytree."""
+    def _put(x):
+        return jax.device_put(
+            x, NamedSharding(mesh, fsdp_param_spec(x.shape, mesh))
+        )
+
+    return jax.tree_util.tree_map(_put, params)
