@@ -1,0 +1,321 @@
+"""Core neural-net layers for the SD-class UNet and VAE, in flax.linen.
+
+TPU-first design decisions:
+  * NHWC layout everywhere (XLA's native conv layout on TPU).
+  * bf16 compute / fp32 params via (dtype, param_dtype) on every module.
+  * Attention routing behavior (the reference's runtime processor
+    monkey-patching, diffusion_module_ip.py:203-233) is STATIC module
+    configuration here; `delta_scale` is a traced scalar argument.
+  * GELU is exact (erf) to match torch's default, not jax's tanh approx.
+
+Module/parameter names mirror the diffusers state-dict structure
+(resnets_0.norm1, attn2.to_q, ...) so the torch→jax weight converter in
+psd_tpu.convert is a mechanical key mapping.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax
+import jax.numpy as jnp
+
+from ..ops.attention import attention_probs, dot_product_attention
+
+
+def gelu(x):
+    return jax.nn.gelu(x, approximate=False)
+
+
+def timestep_embedding(
+    timesteps: jnp.ndarray,
+    dim: int,
+    max_period: float = 10000.0,
+    flip_sin_to_cos: bool = True,
+    downscale_freq_shift: float = 0.0,
+) -> jnp.ndarray:
+    """Sinusoidal timestep embedding (SD convention: cos-first, freq_shift 0).
+
+    Matches the embedding the SD v1.4 UNet was trained with (reference loads
+    it via diffusers at src/models/unet/unet.py:70-75).
+    """
+    half = dim // 2
+    exponent = -math.log(max_period) * jnp.arange(half, dtype=jnp.float32)
+    exponent = exponent / (half - downscale_freq_shift)
+    freqs = jnp.exp(exponent)
+    args = timesteps.astype(jnp.float32)[:, None] * freqs[None, :]
+    sin, cos = jnp.sin(args), jnp.cos(args)
+    emb = jnp.concatenate([cos, sin] if flip_sin_to_cos else [sin, cos], axis=-1)
+    if dim % 2 == 1:
+        emb = jnp.pad(emb, ((0, 0), (0, 1)))
+    return emb
+
+
+class TimestepEmbedding(nn.Module):
+    """linear_1 → SiLU → linear_2 (diffusers TimestepEmbedding)."""
+
+    time_embed_dim: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, t_emb):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.Dense(self.time_embed_dim, name="linear_1", **kw)(t_emb)
+        h = nn.silu(h)
+        return nn.Dense(self.time_embed_dim, name="linear_2", **kw)(h)
+
+
+class ResnetBlock2D(nn.Module):
+    """GN→SiLU→conv → +temb → GN→SiLU→conv → +shortcut (diffusers ResnetBlock2D)."""
+
+    out_channels: int
+    use_temb: bool = True
+    eps: float = 1e-5
+    groups: int = 32
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, temb=None):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        in_ch = x.shape[-1]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1", **kw)(x)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", **kw)(h)
+        if self.use_temb:
+            emb = nn.Dense(self.out_channels, name="time_emb_proj", **kw)(nn.silu(temb))
+            h = h + emb[:, None, None, :]
+        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2", **kw)(h)
+        h = nn.silu(h)
+        h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", **kw)(h)
+        if in_ch != self.out_channels:
+            x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut", **kw)(x)
+        return x + h
+
+
+class Downsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            strides=2,
+            padding=1,
+            name="conv",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class Upsample2D(nn.Module):
+    channels: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        b, h, w, c = x.shape
+        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        return nn.Conv(
+            self.channels,
+            (3, 3),
+            padding=1,
+            name="conv",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+@dataclass(frozen=True)
+class CrossAttnMode:
+    """Static routing configuration for one cross-attention site.
+
+    kind:
+      "plain"  — standard K/V over the full conditioning sequence.
+      "split2" — 2-segment [AOE|IP] with post-softmax token rescale +
+                 renormalize (attention_processor_base.py:103-116).
+      "split3" — triple-pathway split injection: anat K/V from shared
+                 weights over tokens [N_aoe:N_aoe+N_img], dis/delta K/V from
+                 separate to_k_dis/to_v_dis over [:N_aoe] and [-N_delta:],
+                 combined anat_gate·z_anat + dis_gate·z_dis + δ·z_delta
+                 (attention_processor_routing_gates.py:129-178).
+    """
+
+    kind: str = "plain"
+    num_aoe_tokens: int = 16
+    num_image_tokens: int = 16
+    num_delta_tokens: int = 16
+    anat_gate: float = 0.5
+    dis_gate: float = 0.5
+    # split2 post-softmax rescale factors (reference ships 1.0/1.0 —
+    # mechanism present, neutralized; attention_processor_base.py:29-37)
+    scale_aoe: float = 1.0
+    scale_ip: float = 1.0
+
+
+class Attention(nn.Module):
+    """Multi-head attention with optional split-injection routing.
+
+    Self-attention when `context` is None. For cross-attention the static
+    `mode` selects plain / split2 / split3 behavior; `delta_scale` is a
+    traced scalar (0.0 at training, >0 enables steering at inference).
+    """
+
+    num_heads: int
+    mode: CrossAttnMode = CrossAttnMode()
+    out_bias: bool = True
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context=None, delta_scale=None):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        inner_dim = x.shape[-1]
+        head_dim = inner_dim // self.num_heads
+        is_cross = context is not None
+        ctx = context if is_cross else x
+        B = x.shape[0]
+
+        to_q = nn.Dense(inner_dim, use_bias=False, name="to_q", **kw)
+        to_k = nn.Dense(inner_dim, use_bias=False, name="to_k", **kw)
+        to_v = nn.Dense(inner_dim, use_bias=False, name="to_v", **kw)
+
+        def heads(t):
+            return t.reshape(B, -1, self.num_heads, head_dim)
+
+        q = heads(to_q(x))
+
+        mode = self.mode if is_cross else CrossAttnMode("plain")
+        if mode.kind == "split3" and is_cross:
+            n_aoe, n_img, n_delta = (
+                mode.num_aoe_tokens,
+                mode.num_image_tokens,
+                mode.num_delta_tokens,
+            )
+            dis_tok = ctx[:, :n_aoe, :]
+            anat_tok = ctx[:, n_aoe : n_aoe + n_img, :]
+            delta_tok = ctx[:, ctx.shape[1] - n_delta :, :]
+
+            to_k_dis = nn.Dense(inner_dim, use_bias=False, name="to_k_dis", **kw)
+            to_v_dis = nn.Dense(inner_dim, use_bias=False, name="to_v_dis", **kw)
+
+            z_anat = dot_product_attention(q, heads(to_k(anat_tok)), heads(to_v(anat_tok)))
+            z_dis = dot_product_attention(
+                q, heads(to_k_dis(dis_tok)), heads(to_v_dis(dis_tok))
+            )
+            z_delta = dot_product_attention(
+                q, heads(to_k_dis(delta_tok)), heads(to_v_dis(delta_tok))
+            )
+            dscale = (
+                jnp.asarray(0.0, self.dtype)
+                if delta_scale is None
+                else jnp.asarray(delta_scale, self.dtype)
+            )
+            z = (
+                mode.anat_gate * z_anat
+                + mode.dis_gate * z_dis
+                + dscale * z_delta
+            )
+        elif mode.kind == "split2" and is_cross:
+            k, v = heads(to_k(ctx)), heads(to_v(ctx))
+            probs = attention_probs(q, k)  # (B,H,Sq,Sk) fp32
+            n_tok = probs.shape[-1]
+            if n_tok >= mode.num_aoe_tokens + mode.num_image_tokens and (
+                mode.scale_aoe != 1.0 or mode.scale_ip != 1.0
+            ):
+                scale_vec = jnp.ones((n_tok,), jnp.float32)
+                scale_vec = scale_vec.at[: mode.num_aoe_tokens].mul(mode.scale_aoe)
+                scale_vec = scale_vec.at[n_tok - mode.num_image_tokens :].mul(
+                    mode.scale_ip
+                )
+                probs = probs * scale_vec
+                probs = probs / probs.sum(axis=-1, keepdims=True)
+            z = jnp.einsum("bhqk,bkhd->bqhd", probs.astype(v.dtype), v)
+        else:
+            z = dot_product_attention(q, heads(to_k(ctx)), heads(to_v(ctx)))
+
+        z = z.reshape(B, -1, inner_dim)
+        return nn.Dense(inner_dim, use_bias=self.out_bias, name="to_out_0", **kw)(z)
+
+
+class GEGLUFeedForward(nn.Module):
+    """LN-free FF body: GEGLU proj (dim→8·dim split) → Dense (4·dim→dim)."""
+
+    mult: int = 4
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        dim = x.shape[-1]
+        h = nn.Dense(dim * self.mult * 2, name="net_0_proj", **kw)(x)
+        h, gate = jnp.split(h, 2, axis=-1)
+        h = h * gelu(gate)
+        return nn.Dense(dim, name="net_2", **kw)(h)
+
+
+class BasicTransformerBlock(nn.Module):
+    """LN→self-attn→LN→cross-attn→LN→GEGLU-FF, all residual."""
+
+    num_heads: int
+    mode: CrossAttnMode = CrossAttnMode()
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, delta_scale=None):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm1", **kw)(x)
+        x = x + Attention(self.num_heads, name="attn1", dtype=self.dtype,
+                          param_dtype=self.param_dtype)(h)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm2", **kw)(x)
+        x = x + Attention(
+            self.num_heads,
+            mode=self.mode,
+            name="attn2",
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(h, context=context, delta_scale=delta_scale)
+        h = nn.LayerNorm(epsilon=1e-5, name="norm3", **kw)(x)
+        x = x + GEGLUFeedForward(name="ff", dtype=self.dtype,
+                                 param_dtype=self.param_dtype)(h)
+        return x
+
+
+class Transformer2D(nn.Module):
+    """GN → conv1x1 in → transformer block(s) → conv1x1 out → +residual."""
+
+    num_heads: int
+    depth: int = 1
+    mode: CrossAttnMode = CrossAttnMode()
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, context, delta_scale=None):
+        kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        B, H, W, C = x.shape
+        residual = x
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
+        h = nn.Conv(C, (1, 1), name="proj_in", **kw)(h)
+        h = h.reshape(B, H * W, C)
+        for d in range(self.depth):
+            h = BasicTransformerBlock(
+                self.num_heads,
+                mode=self.mode,
+                name=f"transformer_blocks_{d}",
+                dtype=self.dtype,
+                param_dtype=self.param_dtype,
+            )(h, context, delta_scale)
+        h = h.reshape(B, H, W, C)
+        h = nn.Conv(C, (1, 1), name="proj_out", **kw)(h)
+        return h + residual

@@ -1,0 +1,217 @@
+"""SD-v1.4-class conditional UNet, built TPU-first in flax.linen.
+
+Capability match to the reference's `OrdinalUNet` wrapper around diffusers'
+`UNet2DConditionModel` (src/models/unet/unet.py:21-146) plus the attention-
+processor machinery (attention_processor_base.py, attention_processor_
+routing_gates.py) — but the routing behavior is STATIC model configuration
+(CrossAttnMode per block role) rather than runtime processor replacement,
+and `delta_scale` is a traced scalar call argument rather than mutated
+module state (the reference mutates it at inference_pipeline_ip.py:311-318).
+
+Block-role assignment reproduces get_block_type
+(attention_processor_routing_gates.py:199-230): low-resolution blocks
+(down index ≥ n−2, mid, up index ≤ 1) carry the "disease" role; high-res
+blocks carry "anatomy".
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from typing import Optional, Tuple
+
+import flax.linen as nn
+import jax.numpy as jnp
+
+from .layers import (
+    CrossAttnMode,
+    Downsample2D,
+    ResnetBlock2D,
+    TimestepEmbedding,
+    Transformer2D,
+    Upsample2D,
+    timestep_embedding,
+)
+
+
+@dataclass(frozen=True)
+class UNetConfig:
+    in_channels: int = 4
+    out_channels: int = 4
+    block_out_channels: Tuple[int, ...] = (320, 640, 1280, 1280)
+    layers_per_block: int = 2
+    num_heads: int = 8
+    cross_attention_dim: int = 768
+    transformer_depth: int = 1
+    # conditioning routing: "plain" | "split2" | "split3"
+    attn_mode: str = "plain"
+    num_aoe_tokens: int = 16
+    num_image_tokens: int = 16
+    num_delta_tokens: int = 16
+    use_frequency_strategy: bool = True
+    # (anat_gate, dis_gate) per block role — configs/train_ip.yaml:31-32
+    gate_init_anatomy: Tuple[float, float] = (0.5, 0.5)
+    gate_init_disease: Tuple[float, float] = (0.5, 0.5)
+    gate_init_both: Tuple[float, float] = (0.5, 0.5)
+    remat: bool = False
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    def block_role(self, where: str, idx: int = 0) -> str:
+        """anatomy/disease role per block (get_block_type semantics)."""
+        if not self.use_frequency_strategy:
+            return "both"
+        n = len(self.block_out_channels)
+        if where == "mid":
+            return "disease"
+        if where == "down":
+            return "disease" if idx >= n - 2 else "anatomy"
+        if where == "up":
+            return "disease" if idx <= 1 else "anatomy"
+        return "both"
+
+    def attn_mode_for(self, where: str, idx: int = 0) -> CrossAttnMode:
+        role = self.block_role(where, idx)
+        gates = {
+            "anatomy": self.gate_init_anatomy,
+            "disease": self.gate_init_disease,
+            "both": self.gate_init_both,
+        }[role]
+        if self.attn_mode == "split2":
+            # reference's frequency-mode scales ship neutralized at 1.0
+            # (attention_processor_base.py:29-37)
+            return CrossAttnMode(
+                kind="split2",
+                num_aoe_tokens=self.num_aoe_tokens,
+                num_image_tokens=self.num_image_tokens,
+            )
+        if self.attn_mode == "split3":
+            return CrossAttnMode(
+                kind="split3",
+                num_aoe_tokens=self.num_aoe_tokens,
+                num_image_tokens=self.num_image_tokens,
+                num_delta_tokens=self.num_delta_tokens,
+                anat_gate=gates[0],
+                dis_gate=gates[1],
+            )
+        return CrossAttnMode(kind="plain")
+
+    @property
+    def has_cross_attn(self) -> Tuple[bool, ...]:
+        """Down-block attention flags: all but the last block (SD1.x layout)."""
+        n = len(self.block_out_channels)
+        return tuple(i < n - 1 for i in range(n))
+
+
+class UNet2DCondition(nn.Module):
+    config: UNetConfig
+
+    @nn.compact
+    def __call__(
+        self,
+        sample: jnp.ndarray,  # (B, H, W, C_in) NHWC latents
+        timesteps: jnp.ndarray,  # (B,) int or float
+        encoder_hidden_states: jnp.ndarray,  # (B, N, cross_attention_dim)
+        delta_scale: Optional[jnp.ndarray] = None,  # traced scalar, split3 only
+    ) -> jnp.ndarray:
+        cfg = self.config
+        kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
+        ch0 = cfg.block_out_channels[0]
+        time_embed_dim = ch0 * 4
+
+        ResBlock = ResnetBlock2D
+        AttnBlock = Transformer2D
+        if cfg.remat:
+            ResBlock = nn.remat(ResnetBlock2D)
+            AttnBlock = nn.remat(Transformer2D, static_argnums=())
+
+        # --- time embedding ---
+        t_emb = timestep_embedding(timesteps, ch0)
+        temb = TimestepEmbedding(time_embed_dim, name="time_embedding", **kw)(
+            t_emb.astype(cfg.dtype)
+        )
+
+        ctx = encoder_hidden_states.astype(cfg.dtype)
+        h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", **kw)(
+            sample.astype(cfg.dtype)
+        )
+
+        # --- down path ---
+        skips = [h]
+        n_blocks = len(cfg.block_out_channels)
+        for i, out_ch in enumerate(cfg.block_out_channels):
+            has_attn = cfg.has_cross_attn[i]
+            mode = cfg.attn_mode_for("down", i)
+            for j in range(cfg.layers_per_block):
+                h = ResBlock(
+                    out_ch, name=f"down_blocks_{i}_resnets_{j}", **kw
+                )(h, temb)
+                if has_attn:
+                    h = AttnBlock(
+                        cfg.num_heads,
+                        depth=cfg.transformer_depth,
+                        mode=mode,
+                        name=f"down_blocks_{i}_attentions_{j}",
+                        **kw,
+                    )(h, ctx, delta_scale)
+                skips.append(h)
+            if i < n_blocks - 1:
+                h = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(h)
+                skips.append(h)
+
+        # --- mid ---
+        mid_ch = cfg.block_out_channels[-1]
+        h = ResBlock(mid_ch, name="mid_block_resnets_0", **kw)(h, temb)
+        h = AttnBlock(
+            cfg.num_heads,
+            depth=cfg.transformer_depth,
+            mode=cfg.attn_mode_for("mid"),
+            name="mid_block_attentions_0",
+            **kw,
+        )(h, ctx, delta_scale)
+        h = ResBlock(mid_ch, name="mid_block_resnets_1", **kw)(h, temb)
+
+        # --- up path ---
+        rev_channels = tuple(reversed(cfg.block_out_channels))
+        rev_attn = tuple(reversed(cfg.has_cross_attn))
+        for i, out_ch in enumerate(rev_channels):
+            has_attn = rev_attn[i]
+            mode = cfg.attn_mode_for("up", i)
+            for j in range(cfg.layers_per_block + 1):
+                skip = skips.pop()
+                h = jnp.concatenate([h, skip], axis=-1)
+                h = ResBlock(out_ch, name=f"up_blocks_{i}_resnets_{j}", **kw)(h, temb)
+                if has_attn:
+                    h = AttnBlock(
+                        cfg.num_heads,
+                        depth=cfg.transformer_depth,
+                        mode=mode,
+                        name=f"up_blocks_{i}_attentions_{j}",
+                        **kw,
+                    )(h, ctx, delta_scale)
+            if i < n_blocks - 1:
+                h = Upsample2D(out_ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(h)
+
+        # --- out ---
+        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out", **kw)(h)
+        h = nn.silu(h)
+        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
+                    dtype=jnp.float32, param_dtype=cfg.param_dtype)(h.astype(jnp.float32))
+        return h
+
+
+def sd14_unet_config(**overrides) -> UNetConfig:
+    """The SD v1.4 UNet the reference fine-tunes (unet.py:70-75)."""
+    return UNetConfig(**overrides)
+
+
+def tiny_unet_config(**overrides) -> UNetConfig:
+    """Small config for fast CPU tests (SURVEY.md §4c fake backend)."""
+    base = dict(
+        block_out_channels=(32, 64),
+        layers_per_block=1,
+        num_heads=2,
+        cross_attention_dim=32,
+        dtype=jnp.float32,
+    )
+    base.update(overrides)
+    return UNetConfig(**base)

@@ -1,0 +1,65 @@
+"""Attention primitives.
+
+Single entry point `dot_product_attention` so the implementation can be
+swapped (XLA einsum ↔ Pallas flash kernel) without touching model code.
+Softmax always accumulates in fp32 (TPU bf16 softmax loses too much
+precision for parity with the fp32 reference math,
+attention_processor_base.py:96-101).
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_BACKEND = "xla"  # switched to "pallas" by psd_tpu.ops.flash when beneficial
+
+
+def set_attention_backend(name: str) -> None:
+    global _BACKEND
+    assert name in ("xla", "pallas")
+    _BACKEND = name
+
+
+def dot_product_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Multi-head attention.
+
+    Args:
+        q: (B, Sq, H, Dh)
+        k: (B, Sk, H, Dh)
+        v: (B, Sk, H, Dh)
+        scale: defaults to 1/sqrt(Dh)
+
+    Returns:
+        (B, Sq, H, Dh), dtype of q.
+    """
+    if _BACKEND == "pallas":
+        from . import flash
+
+        out = flash.flash_attention(q, k, v, scale=scale)
+        if out is not None:
+            return out
+
+    dh = q.shape[-1]
+    scale = scale if scale is not None else dh**-0.5
+    logits = jnp.einsum(
+        "bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32
+    )
+    probs = jax.nn.softmax(logits * scale, axis=-1).astype(q.dtype)
+    return jnp.einsum("bhqk,bkhd->bqhd", probs, v)
+
+
+def attention_probs(q: jnp.ndarray, k: jnp.ndarray, scale: Optional[float] = None):
+    """Explicit softmax(QKᵀ/√d) probabilities, fp32: needed by the 2-segment
+    post-softmax token-rescale path (attention_processor_base.py:103-116)."""
+    dh = q.shape[-1]
+    scale = scale if scale is not None else dh**-0.5
+    logits = jnp.einsum("bqhd,bkhd->bhqk", q, k, preferred_element_type=jnp.float32)
+    return jax.nn.softmax(logits * scale, axis=-1)

@@ -17,4 +17,8 @@ os.environ.setdefault("JAX_ENABLE_X64", "0")
 
 import jax  # noqa: E402
 
+# The axon sitecustomize force-sets jax_platforms="axon,cpu" at interpreter
+# start; env vars alone don't win. Override at config level before any
+# backend is initialized so tests run on the virtual 8-device CPU mesh.
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
