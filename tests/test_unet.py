@@ -132,7 +132,8 @@ def test_timestep_embedding_formula():
     freqs = np.exp(-np.log(10000.0) * np.arange(half) / half)
     args = np.asarray(t)[:, None] * freqs[None, :]
     expected = np.concatenate([np.cos(args), np.sin(args)], axis=-1)
-    np.testing.assert_allclose(emb, expected, rtol=1e-5, atol=1e-6)
+    # fp32 sin/cos of args up to ~999 rad: allow fp32-level tolerance
+    np.testing.assert_allclose(emb, expected, rtol=1e-3, atol=1e-4)
     assert emb.shape == (3, dim)
 
 
