@@ -1,0 +1,147 @@
+"""Training infrastructure tests: optimizer groups, LR schedule, EMA,
+multi-device DP train step on the virtual CPU mesh (SURVEY.md §4d)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psd_tpu.core.config import Config
+from psd_tpu.parallel.mesh import MeshConfig, create_mesh, shard_batch
+from psd_tpu.train import (
+    build_optimizer,
+    compile_train_step,
+    create_train_state,
+    ema_init,
+    ema_update,
+    shard_train_state,
+    warmup_cosine_epochwise,
+)
+
+from .test_dadd import tiny_dadd
+
+
+def test_warmup_cosine_epochwise():
+    sch = warmup_cosine_epochwise(
+        base_lr=1e-4, warmup_epochs=2, max_epochs=10, steps_per_epoch=100,
+        min_lr=1e-6,
+    )
+    # epoch 0 → warmup start lr*0.01
+    np.testing.assert_allclose(float(sch(0)), 1e-6, rtol=1e-5)
+    # epoch 2 → base lr
+    np.testing.assert_allclose(float(sch(200)), 1e-4, rtol=1e-5)
+    # epoch 10+ → min_lr
+    np.testing.assert_allclose(float(sch(1000)), 1e-6, rtol=1e-4)
+    # monotone decrease after warmup
+    lrs = [float(sch(s)) for s in range(200, 1001, 100)]
+    assert all(a >= b for a, b in zip(lrs, lrs[1:]))
+
+
+def test_optimizer_group_labels_double_lr():
+    """projection/purifier must be in the 2x LR group."""
+    from psd_tpu.train.optim import _group_label
+
+    class K:  # emulate jax DictKey
+        def __init__(self, key):
+            self.key = key
+
+    assert _group_label((K("params"), K("image_projection"), K("kernel"))) == "x2"
+    assert _group_label((K("params"), K("feature_purifier"), K("b"))) == "x2"
+    assert _group_label((K("params"), K("unet"), K("conv_in"))) == "x1"
+    assert _group_label((K("params"), K("ordinal_embedder"), K("deltas"))) == "x1"
+
+
+def test_ema_semantics():
+    p0 = {"w": jnp.ones((4,))}
+    ema = ema_init(p0)
+    # before start step: no update
+    ema = ema_update(ema, {"w": jnp.full((4,), 5.0)}, jnp.asarray(10),
+                     start_step=100, every=4)
+    assert int(ema.count) == 0
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 1.0)
+    # first update at step>=100 → straight copy
+    ema = ema_update(ema, {"w": jnp.full((4,), 5.0)}, jnp.asarray(100),
+                     start_step=100, every=4)
+    assert int(ema.count) == 1
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 5.0)
+    # off-cycle step: no update
+    ema = ema_update(ema, {"w": jnp.full((4,), 9.0)}, jnp.asarray(101),
+                     start_step=100, every=4)
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 5.0)
+    # next cycle: decay blend
+    ema = ema_update(ema, {"w": jnp.full((4,), 9.0)}, jnp.asarray(104),
+                     decay=0.9, start_step=100, every=4)
+    np.testing.assert_allclose(np.asarray(ema.params["w"]), 0.9 * 5 + 0.1 * 9,
+                               rtol=1e-6)
+
+
+def test_dp_train_step_on_8_device_mesh():
+    """Full train step over dp=8: loss finite, params update, EMA tracks."""
+    model = tiny_dadd()
+    mesh = create_mesh(MeshConfig(dp=8))
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    state = shard_train_state(state, mesh)
+    step_fn = compile_train_step(model, tx, mesh)
+
+    B = 16
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.tile(jnp.arange(4.0), 4),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    }
+    batch = shard_batch(mesh, batch)
+
+    w_before = np.asarray(
+        jax.device_get(state.params["params"]["unet"]["conv_in"]["kernel"])
+    )
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+    w_after = np.asarray(
+        jax.device_get(state.params["params"]["unet"]["conv_in"]["kernel"])
+    )
+    assert not np.allclose(w_before, w_after)
+    assert int(state.step) == 2
+
+
+def test_fsdp_mesh_train_step():
+    """dp=2 × fsdp=4: params sharded over fsdp, step still runs."""
+    model = tiny_dadd()
+    mesh = create_mesh(MeshConfig(dp=2, fsdp=4))
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    state = shard_train_state(state, mesh)
+    step_fn = compile_train_step(model, tx, mesh)
+    B = 8
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.tile(jnp.arange(4.0), 2),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    }
+    batch = shard_batch(mesh, batch)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+
+
+def test_checkpoint_roundtrip(tmp_path):
+    import dataclasses
+
+    from psd_tpu.train import CheckpointManager
+
+    model = tiny_dadd()
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    mgr = CheckpointManager(tmp_path / "ckpt")
+    mgr.save(0, state, force=True)
+    mgr.wait()
+    restored = mgr.restore(jax.tree_util.tree_map(np.asarray, state))
+    np.testing.assert_allclose(
+        np.asarray(state.params["params"]["unet"]["conv_in"]["kernel"]),
+        restored.params["params"]["unet"]["conv_in"]["kernel"],
+    )
+    assert mgr.latest_step() == 0
+    mgr.close()
