@@ -1,0 +1,98 @@
+"""Headline benchmark: images/sec/chip for 50-step 512² DDIM sampling.
+
+Runs the flagship DADD pipeline (SD-v1.4-class UNet with triple-pathway
+cross-attention, 48 conditioning tokens, VAE decode included) in bf16 on
+the available chip and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "img/s", "vs_baseline": N}
+
+Baseline: the reference publishes no numbers (BASELINE.md). We anchor
+vs_baseline to an A100 fp16 estimate for SD-1.x 50-step 512² batched
+sampling of ~1.8 img/s (public diffusers benchmarks); the BASELINE.json
+north-star is >=3x that (~5.4 img/s/chip) on v5e.
+"""
+
+from __future__ import annotations
+
+import json
+import time
+
+import jax
+import jax.numpy as jnp
+
+A100_BASELINE_IMG_PER_S = 1.8
+
+IMAGE_SIZE = 512
+STEPS = 50
+BATCH = 4
+
+
+def main() -> None:
+    from psd_tpu.core.config import Config
+    from psd_tpu.diffusion.dadd import DADD, core_config_from
+    from psd_tpu.models.vae import VAEConfig
+
+    cfg = Config()
+    cfg.diffusion.sampling_steps = STEPS
+    core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16)
+    model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+
+    rng = jax.random.PRNGKey(0)
+    params = model.init_core(rng, image_size=IMAGE_SIZE)
+    # inference-style bf16 weights: halve HBM traffic for weight loads
+    params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        params,
+    )
+    vae_params = model.vae.init(
+        jax.random.PRNGKey(1),
+        jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16),
+        jax.random.PRNGKey(2),
+    )
+    vae_params = jax.tree_util.tree_map(
+        lambda x: x.astype(jnp.bfloat16)
+        if hasattr(x, "dtype") and x.dtype == jnp.float32
+        else x,
+        vae_params,
+    )
+
+    n_tok = 3 * core_cfg.num_aoe_tokens
+    cond = jax.random.normal(rng, (BATCH, n_tok, 768), jnp.float32)
+
+    @jax.jit
+    def generate(cond, key):
+        lat = model.sample(
+            params, cond, key,
+            image_size=IMAGE_SIZE, sampling_steps=STEPS,
+            steer_scale=1.0, shared_noise=False,
+        )
+        return model.decode_latents(vae_params, lat)
+
+    # warmup/compile
+    imgs = jax.block_until_ready(generate(cond, jax.random.PRNGKey(10)))
+    assert imgs.shape == (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
+
+    n_iters = 3
+    t0 = time.perf_counter()
+    for i in range(n_iters):
+        imgs = generate(cond, jax.random.PRNGKey(20 + i))
+    jax.block_until_ready(imgs)
+    dt = time.perf_counter() - t0
+
+    img_per_s = BATCH * n_iters / dt
+    print(
+        json.dumps(
+            {
+                "metric": "images_per_sec_per_chip_512px_50step_ddim",
+                "value": round(img_per_s, 4),
+                "unit": "img/s",
+                "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,3 @@
+from .limuc import AugmentConfig, DataLoader, LIMUCDataset, PILAugment
+
+__all__ = ["AugmentConfig", "DataLoader", "LIMUCDataset", "PILAugment"]
