@@ -31,31 +31,46 @@ def main() -> None:
     from psd_tpu.core.config import Config
     from psd_tpu.diffusion.dadd import DADD, core_config_from
     from psd_tpu.models.vae import VAEConfig
+    from psd_tpu.utils.fast_init import enable_compile_cache, fast_init
 
+    enable_compile_cache()
     cfg = Config()
     cfg.diffusion.sampling_steps = STEPS
     core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16)
     model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=jnp.bfloat16))
 
     rng = jax.random.PRNGKey(0)
-    params = model.init_core(rng, image_size=IMAGE_SIZE)
+    lat = IMAGE_SIZE // 8
+
+    def _bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32
+            else x,
+            tree,
+        )
+
+    # host-side init (no accelerator compile just to make weights), then
     # inference-style bf16 weights: halve HBM traffic for weight loads
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32
-        else x,
-        params,
+    n_tok_init = 3 * core_cfg.num_aoe_tokens
+    params = _bf16(
+        fast_init(
+            model.core,
+            {"params": rng, "noise": rng},
+            jnp.zeros((1, lat, lat, 4)),
+            jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,)),
+            jnp.zeros((1, model.clip_cfg.num_positions, core_cfg.clip_hidden_dim)),
+            0.0,
+        )
     )
-    vae_params = model.vae.init(
-        jax.random.PRNGKey(1),
-        jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16),
-        jax.random.PRNGKey(2),
-    )
-    vae_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32
-        else x,
-        vae_params,
+    vae_params = _bf16(
+        fast_init(
+            model.vae,
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, IMAGE_SIZE, IMAGE_SIZE, 3), jnp.bfloat16),
+            jax.random.PRNGKey(2),
+        )
     )
 
     n_tok = 3 * core_cfg.num_aoe_tokens

@@ -120,6 +120,7 @@ class DADDCore(nn.Module):
         image_scale: float | jnp.ndarray = 1.0,
         drop_image_mask: Optional[jnp.ndarray] = None,  # (B,) bool
         rng=None,
+        leace: Optional[Dict[str, Any]] = None,  # P_null/mu arrays
     ) -> jnp.ndarray:
         c = self.cfg
         src = labels if source_labels is None else source_labels
@@ -140,6 +141,10 @@ class DADDCore(nn.Module):
             source_aoe = source_aoe[:, None, :]
 
         image_embeds = self.image_projection(clip_feats)
+        if leace is not None:
+            from ..conditioning.leace import apply_leace
+
+            image_embeds = apply_leace(image_embeds, leace)
         if c.use_feature_purifier:
             image_embeds = self.feature_purifier(image_embeds, source_aoe)
         image_embeds = image_embeds * image_scale
@@ -368,6 +373,7 @@ class DADD:
         image_scale=1.0,
         zero_aoe: bool = False,
         zero_image: bool = False,
+        leace: Optional[Dict[str, Any]] = None,
     ):
         """Inference conditioning (inference_pipeline_ip.py:232-308)."""
         B = target_labels.shape[0]
@@ -381,6 +387,8 @@ class DADD:
             zero_aoe,
             image_scale,
             drop_mask,
+            None,
+            leace,
             method=self.core.prepare_conditioning,
         )
 

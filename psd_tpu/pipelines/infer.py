@@ -1,0 +1,197 @@
+"""MES progression inference CLI.
+
+Capability match to src/pipelines/inference/inference_pipeline_ip.py:
+generate a progression of `--mes-steps` severity levels (linspace 0→3) for
+one structure image, with shared initial noise across levels, single-pass
+delta steering (`--steer-scale`) in routing-gates mode or dual-pass CFG
+with negative-AOE unconditional in baseline mode (`--guidance-scale`),
+`--image-scale`, `--zero-image`, `--leace`, `--eta`, x0-clamp ±4.
+
+Differences by design (TPU-first): the whole progression batch is ONE
+jitted device computation (the 50-step loop is a lax.scan; cond/uncond CFG
+is a fused 2× batch), and steer/guidance scales are traced scalars rather
+than module-state mutation.
+"""
+
+from __future__ import annotations
+
+import argparse
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..conditioning.leace import load_leace
+from ..core.config import Config, load_config
+from ..diffusion.dadd import DADD, core_config_from
+from ..models.vae import VAEConfig
+from ..utils.image_io import progression_grid, save_sequence
+
+
+def build_argparser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(description="DADD MES progression inference (TPU)")
+    p.add_argument("--config", type=str, default=None, help="training YAML config")
+    p.add_argument("--checkpoint", type=str, default=None,
+                   help="orbax checkpoint dir (None → random init smoke mode)")
+    p.add_argument("--structure-image", type=str, required=True)
+    p.add_argument("--source-label", type=float, default=0.0)
+    p.add_argument("--mes-steps", type=int, default=13)
+    p.add_argument("--mes-start", type=float, default=0.0)
+    p.add_argument("--mes-end", type=float, default=3.0)
+    p.add_argument("--sampling-steps", type=int, default=None)
+    p.add_argument("--steer-scale", type=float, default=0.0)
+    p.add_argument("--guidance-scale", type=float, default=1.0)
+    p.add_argument("--image-scale", type=float, default=1.0)
+    p.add_argument("--eta", type=float, default=0.0)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--zero-image", action="store_true")
+    p.add_argument("--leace", type=str, default=None, help=".npz LEACE projection")
+    p.add_argument("--ema", action="store_true", help="sample with EMA weights")
+    p.add_argument("--output-dir", type=str, default="outputs/progression")
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    return p
+
+
+def load_structure_image(path: str | Path, target_size: int):
+    """PIL load → display tensor [0,1] at target size + CLIP pixel values.
+
+    Mirrors _load_and_preprocess_structure_image
+    (inference_pipeline_ip.py:198-229): display resize first, CLIP
+    preprocessing applied to the resized image.
+    """
+    from ..data.limuc import _get_clip_processor
+
+    pil = Image.open(path).convert("RGB")
+    display = pil.resize((target_size, target_size), Image.BILINEAR)
+    display_arr = np.asarray(display, np.float32) / 255.0
+
+    proc = _get_clip_processor()
+    clip = proc(images=display, return_tensors="np").pixel_values[0]
+    clip_nhwc = np.transpose(clip, (1, 2, 0)).astype(np.float32)
+    return clip_nhwc[None], display_arr
+
+
+def build_model(cfg: Config, dtype_str: str = "bf16") -> DADD:
+    dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
+    core_cfg = core_config_from(cfg, remat=False, dtype=dtype)
+    return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
+
+
+def load_params(model: DADD, checkpoint: str | None, seed: int, image_size: int,
+                use_ema: bool = False):
+    """Load core params (+frozen VAE/CLIP) from an orbax dir or random-init."""
+    rng = jax.random.PRNGKey(seed)
+    core = model.init_core(rng, image_size=image_size)
+    vae = model.vae.init(
+        jax.random.PRNGKey(seed + 1),
+        jnp.zeros((1, image_size, image_size, 3)),
+        jax.random.PRNGKey(seed + 2),
+    )
+    clip = model.clip.init(
+        jax.random.PRNGKey(seed + 3),
+        jnp.zeros((1, model.clip_cfg.image_size, model.clip_cfg.image_size, 3)),
+    )
+    if checkpoint:
+        from ..train.checkpoint import CheckpointManager
+        from ..train.trainer import TrainState
+        import optax
+
+        from ..train.optim import build_optimizer
+
+        tx = build_optimizer(model.cfg)
+        template = TrainState(
+            step=jnp.zeros((), jnp.int32),
+            params=jax.tree_util.tree_map(np.asarray, core),
+            opt_state=tx.init(core["params"]),
+            ema=__import__("psd_tpu.train.ema", fromlist=["ema_init"]).ema_init(
+                core["params"]
+            ),
+        )
+        mgr = CheckpointManager(checkpoint)
+        state = mgr.restore(template)
+        mgr.close()
+        core = (
+            {"params": state.ema.params} if use_ema else {"params": state.params["params"]}
+        )
+        # frozen encoder weights ship separately (convert/ports); if the
+        # checkpoint dir contains them, prefer those
+        enc_dir = Path(checkpoint) / "frozen"
+        if (enc_dir / "vae.npz").exists():
+            from ..convert.io import load_params_npz
+
+            vae = load_params_npz(enc_dir / "vae.npz")
+        if (enc_dir / "clip.npz").exists():
+            from ..convert.io import load_params_npz
+
+            clip = load_params_npz(enc_dir / "clip.npz")
+    return core, vae, clip
+
+
+def main(argv=None) -> dict:
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config) if args.config else Config()
+    image_size = args.image_size or cfg.dataset.image_size
+    steps = args.sampling_steps or cfg.diffusion.sampling_steps
+    out_dir = Path(args.output_dir)
+
+    model = build_model(cfg, args.dtype)
+    core, vae_params, clip_params = load_params(
+        model, args.checkpoint, args.seed, image_size, args.ema
+    )
+
+    clip_img, display = load_structure_image(args.structure_image, image_size)
+    leace = load_leace(args.leace) if args.leace else None
+
+    targets = jnp.linspace(args.mes_start, args.mes_end, args.mes_steps)
+    sources = jnp.full((args.mes_steps,), args.source_label)
+
+    use_rg = model.core_cfg.use_routing_gates
+    guidance = 1.0 if use_rg else args.guidance_scale  # RG mode forces 1.0
+    do_cfg = (not use_rg) and guidance != 1.0
+
+    t0 = time.perf_counter()
+    clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_img))
+    clip_feats = jnp.tile(clip_feats, (args.mes_steps,) + (1,) * (clip_feats.ndim - 1))
+
+    cond = model.prepare_inference_cond(
+        core, targets, sources, clip_feats,
+        image_scale=args.image_scale, zero_image=args.zero_image, leace=leace,
+    )
+    uncond = None
+    if do_cfg:
+        uncond = model.prepare_inference_cond(
+            core, targets, sources, clip_feats,
+            image_scale=args.image_scale, zero_image=args.zero_image,
+            zero_aoe=True, leace=leace,
+        )
+
+    key = jax.random.PRNGKey(args.seed)
+    latents = model.sample(
+        core, cond, key,
+        image_size=image_size, sampling_steps=steps, eta=args.eta,
+        steer_scale=args.steer_scale if use_rg else 0.0,
+        guidance_scale=guidance, cond_uncond=uncond,
+        shared_noise=True,
+        eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
+    )
+    images = np.asarray(model.decode_latents(vae_params, latents))
+    jax.block_until_ready(images)
+    dt = time.perf_counter() - t0
+
+    labels = np.asarray(targets)
+    paths = save_sequence(images, labels, out_dir)
+    grid = progression_grid(images, labels, out_dir / "progression_grid.png",
+                            reference=display)
+    print(
+        f"Generated {args.mes_steps}-step progression in {dt:.2f}s "
+        f"({args.mes_steps / dt:.2f} img/s) → {out_dir}"
+    )
+    return {"paths": paths, "grid": grid, "seconds": dt, "images": images}
+
+
+if __name__ == "__main__":
+    main()
