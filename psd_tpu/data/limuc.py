@@ -30,18 +30,18 @@ from PIL import Image
 _IMG_EXTS = (".png", ".jpg", ".jpeg", ".bmp", ".tiff")
 
 
-def _get_clip_processor(path_or_none: Optional[str] = None):
+def _get_clip_processor(path_or_none: Optional[str] = None, size: int = 224):
     from transformers import CLIPImageProcessor
 
     if path_or_none and Path(path_or_none).exists():
         return CLIPImageProcessor.from_pretrained(path_or_none)
-    # openai/clip-vit-large-patch14 defaults: 224 bicubic shortest-edge
-    # resize, center crop 224, CLIP mean/std
+    # openai/clip-vit-large-patch14 defaults: bicubic shortest-edge resize,
+    # center crop, CLIP mean/std
     return CLIPImageProcessor(
         do_resize=True,
-        size={"shortest_edge": 224},
+        size={"shortest_edge": size},
         do_center_crop=True,
-        crop_size={"height": 224, "width": 224},
+        crop_size={"height": size, "width": size},
         do_rescale=True,
         do_normalize=True,
         image_mean=[0.48145466, 0.4578275, 0.40821073],
@@ -116,6 +116,7 @@ class LIMUCDataset:
         augment: Optional[AugmentConfig] = None,
         return_clip: bool = True,
         clip_processor=None,
+        clip_size: int = 224,
         seed: int = 0,
     ):
         self.root = Path(root)
@@ -123,7 +124,7 @@ class LIMUCDataset:
         self.return_clip = return_clip
         self.rng = np.random.default_rng(seed)
         self.augment = PILAugment(augment, self.rng) if augment else None
-        self._clip = clip_processor or (_get_clip_processor() if return_clip else None)
+        self._clip = clip_processor or (_get_clip_processor(size=clip_size) if return_clip else None)
 
         classes = sorted(
             d.name for d in self.root.iterdir() if d.is_dir()

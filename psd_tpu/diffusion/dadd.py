@@ -240,10 +240,12 @@ class DADD:
             kind=cfg.diffusion.noise_schedule,
         )
         self.latent_scale = cfg.diffusion.latent_scale
+        # spatial downscale factor of the VAE (8 for SD; tiny configs differ)
+        self.spatial_factor = 2 ** (len(self.vae_cfg.block_out_channels) - 1)
 
     # ---- initialization ------------------------------------------------
     def init_core(self, rng, image_size: int = 256) -> Dict:
-        lat = image_size // 8
+        lat = image_size // self.spatial_factor
         B = 1
         latents = jnp.zeros((B, lat, lat, self.core_cfg.unet.in_channels))
         t = jnp.zeros((B,), jnp.int32)
@@ -414,7 +416,7 @@ class DADD:
         """
         steps = sampling_steps or self.cfg.diffusion.sampling_steps
         B = cond.shape[0]
-        lat = image_size // 8
+        lat = image_size // self.spatial_factor
         C = self.core_cfg.unet.in_channels
         if shared_noise:
             single = jax.random.normal(key, (1, lat, lat, C), jnp.float32)

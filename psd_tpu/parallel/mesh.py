@@ -34,8 +34,10 @@ class MeshConfig:
         dp = self.dp
         if dp == -1:
             dp = n_devices // (self.fsdp * self.tp)
-        assert dp * self.fsdp * self.tp == n_devices, (
-            f"mesh {dp}x{self.fsdp}x{self.tp} != {n_devices} devices"
+        need = dp * self.fsdp * self.tp
+        assert need <= n_devices, (
+            f"mesh {dp}x{self.fsdp}x{self.tp} needs {need} devices, "
+            f"have {n_devices}"
         )
         return MeshConfig(dp=dp, fsdp=self.fsdp, tp=self.tp)
 
@@ -43,9 +45,12 @@ class MeshConfig:
 def create_mesh(
     cfg: Optional[MeshConfig] = None, devices: Optional[Sequence[jax.Device]] = None
 ) -> Mesh:
+    """Build the mesh; an explicit smaller-than-world config uses a prefix
+    of the device list (useful for smoke runs on a subset)."""
     devices = list(devices if devices is not None else jax.devices())
     cfg = (cfg or MeshConfig()).resolve(len(devices))
-    arr = np.array(devices).reshape(cfg.dp, cfg.fsdp, cfg.tp)
+    need = cfg.dp * cfg.fsdp * cfg.tp
+    arr = np.array(devices[:need]).reshape(cfg.dp, cfg.fsdp, cfg.tp)
     return Mesh(arr, axis_names=("dp", "fsdp", "tp"))
 
 

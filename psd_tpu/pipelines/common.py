@@ -1,0 +1,39 @@
+"""Shared pipeline helpers: model building (incl. tiny smoke mode)."""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from ..core.config import Config
+from ..diffusion.dadd import DADD, core_config_from
+from ..models.vae import VAEConfig
+
+
+def build_model(cfg: Config, dtype_str: str = "bf16") -> DADD:
+    dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
+    if cfg.model.extras.get("tiny", False):
+        # smoke-test configuration: tiny UNet/VAE/CLIP (tests + CI)
+        from ..diffusion.dadd import DADDCoreConfig
+        from ..models.clip import tiny_clip_config
+        from ..models.unet import tiny_unet_config
+        from ..models.vae import tiny_vae_config
+
+        attn_mode = "split3" if cfg.model.use_routing_gates else "split2"
+        core_cfg = DADDCoreConfig(
+            unet=tiny_unet_config(attn_mode=attn_mode, num_aoe_tokens=4,
+                                  num_image_tokens=4, num_delta_tokens=4),
+            embedding_dim=32,
+            conditioning_dim=32,
+            num_aoe_tokens=4,
+            num_image_tokens=4,
+            use_routing_gates=cfg.model.use_routing_gates,
+            use_feature_purifier=cfg.model.use_feature_purifier,
+            use_image_projection_plus=cfg.model.use_image_projection_plus,
+            purifier_num_heads=2,
+            clip_hidden_dim=32,
+            clip_projection_dim=16,
+        )
+        return DADD(cfg, core_cfg=core_cfg, vae_cfg=tiny_vae_config(),
+                    clip_cfg=tiny_clip_config(), dtype=jnp.float32)
+    core_cfg = core_config_from(cfg, remat=False, dtype=dtype)
+    return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))

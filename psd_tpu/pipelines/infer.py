@@ -26,7 +26,8 @@ from PIL import Image
 
 from ..conditioning.leace import load_leace
 from ..core.config import Config, load_config
-from ..diffusion.dadd import DADD, core_config_from
+from ..diffusion.dadd import DADD
+from .common import build_model
 from ..models.vae import VAEConfig
 from ..utils.image_io import progression_grid, save_sequence
 
@@ -56,29 +57,32 @@ def build_argparser() -> argparse.ArgumentParser:
     return p
 
 
-def load_structure_image(path: str | Path, target_size: int):
+def load_structure_image(path: str | Path, target_size: int, clip_size: int = 224):
     """PIL load → display tensor [0,1] at target size + CLIP pixel values.
 
     Mirrors _load_and_preprocess_structure_image
     (inference_pipeline_ip.py:198-229): display resize first, CLIP
     preprocessing applied to the resized image.
     """
-    from ..data.limuc import _get_clip_processor
+    from transformers import CLIPImageProcessor
 
     pil = Image.open(path).convert("RGB")
     display = pil.resize((target_size, target_size), Image.BILINEAR)
     display_arr = np.asarray(display, np.float32) / 255.0
 
-    proc = _get_clip_processor()
+    proc = CLIPImageProcessor(
+        do_resize=True,
+        size={"shortest_edge": clip_size},
+        do_center_crop=True,
+        crop_size={"height": clip_size, "width": clip_size},
+        do_rescale=True,
+        do_normalize=True,
+        image_mean=[0.48145466, 0.4578275, 0.40821073],
+        image_std=[0.26862954, 0.26130258, 0.27577711],
+    )
     clip = proc(images=display, return_tensors="np").pixel_values[0]
     clip_nhwc = np.transpose(clip, (1, 2, 0)).astype(np.float32)
     return clip_nhwc[None], display_arr
-
-
-def build_model(cfg: Config, dtype_str: str = "bf16") -> DADD:
-    dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
-    core_cfg = core_config_from(cfg, remat=False, dtype=dtype)
-    return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
 
 
 def load_params(model: DADD, checkpoint: str | None, seed: int, image_size: int,
@@ -143,7 +147,9 @@ def main(argv=None) -> dict:
         model, args.checkpoint, args.seed, image_size, args.ema
     )
 
-    clip_img, display = load_structure_image(args.structure_image, image_size)
+    clip_img, display = load_structure_image(
+        args.structure_image, image_size, clip_size=model.clip_cfg.image_size
+    )
     leace = load_leace(args.leace) if args.leace else None
 
     targets = jnp.linspace(args.mes_start, args.mes_end, args.mes_steps)

@@ -1,0 +1,178 @@
+"""Training pipeline CLI — TPU counterpart of
+src/pipelines/training/training_pipeline_ip.py.
+
+Flow: load YAML config (+dotted overrides) → build DADD + mesh → data
+loader → jitted sharded train step (loss/grads/AdamW/EMA in one compiled
+program) → periodic metric logging + async Orbax checkpoints → resume from
+"last" or an explicit path.
+
+The frozen VAE/CLIP encode runs per batch on device as a separate jitted
+fn so the UNet step stays donate-buffer clean. W&B logging is optional
+(falls back to JSONL metrics when wandb/offline unavailable).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from pathlib import Path
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Config, load_config
+from ..data.limuc import AugmentConfig, DataLoader, LIMUCDataset
+from .common import build_model
+from ..models.vae import VAEConfig
+from ..parallel.mesh import MeshConfig, create_mesh, shard_batch
+from ..train import (
+    CheckpointManager,
+    build_optimizer,
+    compile_train_step,
+    create_train_state,
+    shard_train_state,
+)
+from ..utils.fast_init import enable_compile_cache
+from ..utils.logging import MetricLogger
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="DADD training (TPU)")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("overrides", nargs="*", help="dotted key=value overrides")
+    p.add_argument("--output-dir", type=str, default="runs/train")
+    p.add_argument("--max-steps", type=int, default=None,
+                   help="cap total steps (smoke runs)")
+    p.add_argument("--dp", type=int, default=-1)
+    p.add_argument("--fsdp", type=int, default=1)
+    p.add_argument("--vae-params", type=str, default=None, help=".npz ported VAE")
+    p.add_argument("--clip-params", type=str, default=None, help=".npz ported CLIP")
+    return p
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config, overrides=args.overrides)
+    enable_compile_cache()
+
+    out_dir = Path(args.output_dir)
+    out_dir.mkdir(parents=True, exist_ok=True)
+    logger = MetricLogger(out_dir / "metrics.jsonl", wandb_cfg=cfg.wandb)
+
+    mesh = create_mesh(MeshConfig(dp=args.dp, fsdp=args.fsdp))
+    model = build_model(cfg)
+
+    # data
+    aug = AugmentConfig(**{
+        k: v for k, v in cfg.dataset.augmentation.items()
+        if k in AugmentConfig.__dataclass_fields__
+    })
+    ds = LIMUCDataset(
+        Path(cfg.dataset.dataset_path) / "train",
+        image_size=cfg.dataset.image_size,
+        augment=aug,
+        return_clip=True,
+        clip_size=model.clip_cfg.image_size,
+        seed=cfg.training.seed,
+    )
+    loader = DataLoader(
+        ds,
+        batch_size=cfg.dataset.batch_size,
+        class_balanced=cfg.dataset.sampler == "class_balanced",
+        num_threads=cfg.dataset.num_workers,
+        seed=cfg.training.seed,
+    )
+    steps_per_epoch = max(len(loader), 1)
+
+    # frozen encoders
+    rng = jax.random.PRNGKey(cfg.training.seed)
+    if args.vae_params:
+        from ..convert.io import load_params_npz
+
+        vae_params = load_params_npz(args.vae_params)
+    else:
+        vae_params = model.vae.init(
+            rng, jnp.zeros((1, cfg.dataset.image_size, cfg.dataset.image_size, 3)),
+            jax.random.PRNGKey(1),
+        )
+    if args.clip_params:
+        from ..convert.io import load_params_npz
+
+        clip_params = load_params_npz(args.clip_params)
+    else:
+        clip_params = model.clip.init(
+            rng, jnp.zeros((1, model.clip_cfg.image_size,
+                            model.clip_cfg.image_size, 3))
+        )
+
+    @jax.jit
+    def encode_batch(images, clip_images, key):
+        latents = model.encode_latents(vae_params, images, key)
+        clip_feats = model.encode_image_clip(clip_params, clip_images)
+        return latents, clip_feats
+
+    # train state
+    tx = build_optimizer(cfg, steps_per_epoch)
+    state, tx = create_train_state(model, rng, tx=tx,
+                                   image_size=cfg.dataset.image_size)
+    ckpt = CheckpointManager(out_dir / "checkpoints")
+    if cfg.training.resume_checkpoint:
+        from ..train.checkpoint import resolve_resume_path
+
+        path = resolve_resume_path(cfg.training.resume_checkpoint,
+                                   out_dir / "checkpoints")
+        mgr = ckpt if path == out_dir / "checkpoints" else CheckpointManager(path)
+        state = mgr.restore(jax.tree_util.tree_map(np.asarray, state))
+        print(f"Resumed from {path} at step {int(state.step)}")
+
+    state = shard_train_state(state, mesh)
+    step_fn = compile_train_step(model, tx, mesh)
+
+    total_steps = args.max_steps or steps_per_epoch * cfg.training.max_epochs
+    log_every = cfg.training.log_every_n_steps
+    step = int(state.step)
+    t0 = time.perf_counter()
+    train_rng = jax.random.PRNGKey(cfg.training.seed + 17)
+
+    print(f"Training: {total_steps} steps, {steps_per_epoch} steps/epoch, "
+          f"mesh={dict(mesh.shape)}")
+    done = False
+    while not done:
+        for batch in loader:
+            images = jnp.asarray(batch["image"])
+            clip_images = jnp.asarray(batch["clip_image"])
+            labels = jnp.asarray(batch["label"])
+            enc_key = jax.random.fold_in(jax.random.PRNGKey(7), step)
+            latents, clip_feats = encode_batch(images, clip_images, enc_key)
+            dev_batch = shard_batch(mesh, {
+                "latents": latents, "labels": labels, "clip_feats": clip_feats,
+            })
+            state, metrics = step_fn(state, dev_batch, train_rng)
+            step += 1
+            if step % log_every == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                m["step"] = step
+                m["img_per_sec"] = (
+                    log_every * cfg.dataset.batch_size / (time.perf_counter() - t0)
+                )
+                t0 = time.perf_counter()
+                logger.log(m)
+                print(f"step {step}: loss={m['loss']:.4f} "
+                      f"({m['img_per_sec']:.1f} img/s)")
+            if step % steps_per_epoch == 0:
+                ckpt.save(step, jax.device_get(state))
+            if step >= total_steps:
+                done = True
+                break
+    if ckpt.latest_step() != step:
+        ckpt.save(step, jax.device_get(state), force=True)
+    ckpt.wait()
+    logger.close()
+    print(f"Done at step {step}; checkpoints in {out_dir / 'checkpoints'}")
+    return state
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,82 @@
+"""End-to-end pipeline smoke tests on the tiny config (SURVEY.md §4e)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+from PIL import Image
+
+
+@pytest.fixture(scope="module")
+def structure_image(tmp_path_factory):
+    p = tmp_path_factory.mktemp("imgs") / "structure.png"
+    rng = np.random.default_rng(0)
+    Image.fromarray(rng.integers(0, 255, (256, 256, 3), dtype=np.uint8)).save(p)
+    return p
+
+
+def test_infer_cli_progression(structure_image, tmp_path):
+    from psd_tpu.pipelines.infer import main
+
+    out = main([
+        "--config", "configs/tiny_smoke.yaml",
+        "--structure-image", str(structure_image),
+        "--mes-steps", "5",
+        "--sampling-steps", "4",
+        "--steer-scale", "1.0",
+        "--source-label", "1.0",
+        "--image-size", "32",
+        "--seed", "0",
+        "--dtype", "fp32",
+        "--output-dir", str(tmp_path / "prog"),
+    ])
+    assert len(out["paths"]) == 5
+    for p in out["paths"]:
+        assert Path(p).exists()
+    assert Path(out["grid"]).exists()
+    imgs = out["images"]
+    assert imgs.shape == (5, 32, 32, 3)
+    assert np.isfinite(imgs).all()
+    assert imgs.min() >= 0.0 and imgs.max() <= 1.0
+
+
+def test_infer_cli_deterministic_same_seed(structure_image, tmp_path):
+    from psd_tpu.pipelines.infer import main
+
+    common = [
+        "--config", "configs/tiny_smoke.yaml",
+        "--structure-image", str(structure_image),
+        "--mes-steps", "3", "--sampling-steps", "2",
+        "--image-size", "32", "--seed", "7", "--dtype", "fp32",
+    ]
+    a = main(common + ["--output-dir", str(tmp_path / "a")])
+    b = main(common + ["--output-dir", str(tmp_path / "b")])
+    np.testing.assert_array_equal(a["images"], b["images"])
+
+
+def test_train_cli_smoke(tmp_path):
+    """Few steps of the full training pipeline on a synthetic dataset."""
+    rng = np.random.default_rng(0)
+    data_root = tmp_path / "data" / "train"
+    for c in range(4):
+        d = data_root / f"Mayo_{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(d / f"im{i}.png")
+
+    from psd_tpu.pipelines.train import main
+
+    state = main([
+        "--config", "configs/tiny_smoke.yaml",
+        f"dataset.dataset_path={tmp_path / 'data'}",
+        "dataset.batch_size=4",
+        "training.log_every_n_steps=1",
+        "--max-steps", "3",
+        "--dp", "2",
+        "--output-dir", str(tmp_path / "run"),
+    ])
+    assert int(state.step) == 3
+    assert (tmp_path / "run" / "metrics.jsonl").exists()
+    assert (tmp_path / "run" / "checkpoints").exists()
