@@ -76,8 +76,8 @@ def main() -> None:
     n_tok = 3 * core_cfg.num_aoe_tokens
     cond = jax.random.normal(rng, (BATCH, n_tok, 768), jnp.float32)
 
-    @jax.jit
     def generate(cond, key):
+        # model.sample/decode_latents are cached jits taking params as args
         lat = model.sample(
             params, cond, key,
             image_size=IMAGE_SIZE, sampling_steps=STEPS,
@@ -85,15 +85,18 @@ def main() -> None:
         )
         return model.decode_latents(vae_params, lat)
 
-    # warmup/compile
-    imgs = jax.block_until_ready(generate(cond, jax.random.PRNGKey(10)))
+    # warmup/compile. NOTE: through the axon relay, block_until_ready does
+    # not actually wait for execution — force a host readback instead.
+    import numpy as np
+
+    imgs = np.asarray(generate(cond, jax.random.PRNGKey(10)))
     assert imgs.shape == (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
+    assert np.isfinite(imgs).all()
 
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        imgs = generate(cond, jax.random.PRNGKey(20 + i))
-    jax.block_until_ready(imgs)
+        imgs = np.asarray(generate(cond, jax.random.PRNGKey(20 + i)))
     dt = time.perf_counter() - t0
 
     img_per_s = BATCH * n_iters / dt

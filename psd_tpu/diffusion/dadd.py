@@ -264,30 +264,48 @@ class DADD:
         return jnp.zeros((B, self.core_cfg.clip_projection_dim))
 
     # ---- frozen encoders ------------------------------------------------
+    # Each is a cached jit with params as ARGUMENTS (never closures — a
+    # closed-over param tree becomes HLO constants and wrecks compile time).
+    def _jit(self, name, fn):
+        cache = getattr(self, "_fn_cache", None)
+        if cache is None:
+            cache = {}
+            self._fn_cache = cache
+        if name not in cache:
+            cache[name] = jax.jit(fn)
+        return cache[name]
+
     def encode_image_clip(self, clip_params, clip_images):
         """CLIP-preprocessed (B,224,224,3) → feats for the projection."""
-        if self.core_cfg.use_image_projection_plus:
-            feats = self.clip.apply(
-                clip_params, clip_images, method=self.clip.last_hidden_state
-            )
-        else:
-            feats = self.clip.apply(
-                clip_params, clip_images, method=self.clip.image_embeds
-            )
-        return jax.lax.stop_gradient(feats.astype(jnp.float32))
+        method = (
+            self.clip.last_hidden_state
+            if self.core_cfg.use_image_projection_plus
+            else self.clip.image_embeds
+        )
+
+        def _fn(p, x):
+            return self.clip.apply(p, x, method=method).astype(jnp.float32)
+
+        return jax.lax.stop_gradient(self._jit("clip_encode", _fn)(clip_params, clip_images))
 
     def encode_latents(self, vae_params, images, rng):
         """images (B,H,W,3) in [-1,1] → sampled scaled latents (fp32)."""
-        mean, logvar = self.vae.apply(vae_params, images, method=self.vae.encode)
-        z = sample_gaussian(mean, logvar, rng)
-        return jax.lax.stop_gradient(z.astype(jnp.float32) * self.latent_scale)
+
+        def _fn(p, x, key):
+            mean, logvar = self.vae.apply(p, x, method=self.vae.encode)
+            z = sample_gaussian(mean, logvar, key)
+            return z.astype(jnp.float32) * self.latent_scale
+
+        return jax.lax.stop_gradient(self._jit("vae_encode", _fn)(vae_params, images, rng))
 
     def decode_latents(self, vae_params, latents):
         """scaled latents → images in [0,1]."""
-        imgs = self.vae.apply(
-            vae_params, latents / self.latent_scale, method=self.vae.decode
-        )
-        return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        def _fn(p, z):
+            imgs = self.vae.apply(p, z / self.latent_scale, method=self.vae.decode)
+            return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        return self._jit("vae_decode", _fn)(vae_params, latents)
 
     # ---- training loss ---------------------------------------------------
     def train_loss(
@@ -380,19 +398,88 @@ class DADD:
         """Inference conditioning (inference_pipeline_ip.py:232-308)."""
         B = target_labels.shape[0]
         drop_mask = jnp.ones((B,), bool) if zero_image else None
-        return self.core.apply(
+        use_leace = leace is not None
+        leace_args = (
+            {"P_null": jnp.asarray(leace["P_null"]), "mu": jnp.asarray(leace["mu"])}
+            if use_leace
+            else {"P_null": jnp.zeros((0,)), "mu": jnp.zeros((0,))}
+        )
+
+        def _fn(p, tgt, src, feats, scale, mask, lc):
+            return self.core.apply(
+                p, tgt, feats, src, False, zero_aoe, scale, mask, None,
+                lc if use_leace else None,
+                method=self.core.prepare_conditioning,
+            )
+
+        name = f"prep_cond_{zero_aoe}_{zero_image}_{use_leace}"
+        return self._jit(name, _fn)(
             core_params,
             target_labels,
-            clip_feats,
             source_labels,
-            False,
-            zero_aoe,
-            image_scale,
-            drop_mask,
-            None,
-            leace,
-            method=self.core.prepare_conditioning,
+            clip_feats,
+            jnp.asarray(image_scale, jnp.float32),
+            drop_mask if zero_image else jnp.zeros((B,), bool),
+            leace_args,
         )
+
+    def _sample_impl(
+        self,
+        core_params,
+        cond,
+        cond_uncond,  # dummy zeros when do_cfg is False
+        key,
+        eta_key,
+        steer_scale,
+        guidance_scale,
+        *,
+        image_size: int,
+        steps: int,
+        eta: float,
+        shared_noise: bool,
+        do_cfg: bool,
+    ) -> jnp.ndarray:
+        B = cond.shape[0]
+        lat = image_size // self.spatial_factor
+        C = self.core_cfg.unet.in_channels
+        if shared_noise:
+            single = jax.random.normal(key, (1, lat, lat, C), jnp.float32)
+            x0 = jnp.tile(single, (B, 1, 1, 1))
+        else:
+            x0 = jax.random.normal(key, (B, lat, lat, C), jnp.float32)
+
+        def raw_eps(x, t, i, embeds):
+            return self.core.apply(
+                core_params, x, t, embeds, steer_scale, method=self.core.eps
+            )
+
+        eps_fn = cfg_eps_fn(
+            raw_eps, cond, cond_uncond if do_cfg else None, guidance_scale
+        )
+        return ddim_sample(
+            eps_fn,
+            x0,
+            self.schedule,
+            SamplerConfig(sampling_steps=steps, eta=eta),
+            key=eta_key if eta > 0 else None,
+        )
+
+    def _get_jitted_sample(self, **static):
+        """Cache one compiled sampler per static-knob combination.
+
+        Params/conditioning enter as jit ARGUMENTS — closing over the 859M-
+        param tree would embed it as HLO constants and blow up compile time.
+        """
+        key = tuple(sorted(static.items()))
+        cache = getattr(self, "_sample_cache", None)
+        if cache is None:
+            cache = {}
+            self._sample_cache = cache
+        if key not in cache:
+            from functools import partial
+
+            cache[key] = jax.jit(partial(self._sample_impl, **static))
+        return cache[key]
 
     def sample(
         self,
@@ -412,31 +499,24 @@ class DADD:
 
         shared_noise=True replicates one initial latent across the batch —
         the reference's 'same noise for all MES levels' behavior
-        (inference_pipeline_ip.py:376-385).
+        (inference_pipeline_ip.py:376-385). The whole sampler is ONE jitted
+        program (scan over steps); steer/guidance scales are traced.
         """
         steps = sampling_steps or self.cfg.diffusion.sampling_steps
-        B = cond.shape[0]
-        lat = image_size // self.spatial_factor
-        C = self.core_cfg.unet.in_channels
-        if shared_noise:
-            single = jax.random.normal(key, (1, lat, lat, C), jnp.float32)
-            x0 = jnp.tile(single, (B, 1, 1, 1))
-        else:
-            x0 = jax.random.normal(key, (B, lat, lat, C), jnp.float32)
-
-        def raw_eps(x, t, i, embeds):
-            return self.core.apply(
-                core_params, x, t, embeds, steer_scale, method=self.core.eps
-            )
-
         do_cfg = cond_uncond is not None
-        eps_fn = cfg_eps_fn(
-            raw_eps, cond, cond_uncond if do_cfg else None, guidance_scale
+        fn = self._get_jitted_sample(
+            image_size=image_size,
+            steps=steps,
+            eta=eta,
+            shared_noise=shared_noise,
+            do_cfg=do_cfg,
         )
-        return ddim_sample(
-            eps_fn,
-            x0,
-            self.schedule,
-            SamplerConfig(sampling_steps=steps, eta=eta),
-            key=eta_key,
+        return fn(
+            core_params,
+            cond,
+            cond_uncond if do_cfg else jnp.zeros_like(cond),
+            key,
+            eta_key if eta_key is not None else key,
+            jnp.asarray(steer_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32),
         )

@@ -107,8 +107,8 @@ def main(argv=None):
                             model.clip_cfg.image_size, 3))
         )
 
-    @jax.jit
     def encode_batch(images, clip_images, key):
+        # DADD's encode fns are cached jits taking frozen params as args
         latents = model.encode_latents(vae_params, images, key)
         clip_feats = model.encode_image_clip(clip_params, clip_images)
         return latents, clip_feats

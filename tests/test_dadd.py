@@ -96,7 +96,8 @@ def test_progression_sampling_shared_noise(dadd_and_params):
         params, cond, jax.random.PRNGKey(5), image_size=32, sampling_steps=4,
         steer_scale=1.0,
     )
-    assert lat.shape == (5, 4, 4, 4)
+    # tiny VAE downscales by 2 → 32² images sample in 16² latent space
+    assert lat.shape == (5, 16, 16, 4)
     assert np.isfinite(np.asarray(lat)).all()
     # delta steering: different target labels give different outputs even
     # with shared init noise
@@ -130,7 +131,7 @@ def test_baseline_mode_cfg_sampling():
         params, cond, jax.random.PRNGKey(2), image_size=32, sampling_steps=4,
         guidance_scale=3.0, cond_uncond=uncond,
     )
-    assert lat.shape == (2, 4, 4, 4)
+    assert lat.shape == (2, 16, 16, 4)
     assert np.isfinite(np.asarray(lat)).all()
 
 
@@ -159,5 +160,5 @@ def test_base_module_ordinal_only():
     assert cond.shape == (1, 4, 32)
     lat = model.sample(params, cond, jax.random.PRNGKey(1), image_size=32,
                        sampling_steps=4)
-    assert lat.shape == (1, 4, 4, 4)
+    assert lat.shape == (1, 16, 16, 4)
     assert np.isfinite(np.asarray(lat)).all()
