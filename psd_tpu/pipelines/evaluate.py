@@ -1,0 +1,383 @@
+"""Evaluation sweep CLI — TPU counterpart of
+src/pipelines/evaluation/evaluation_pipeline.py (1465 LoC reference).
+
+Sweep: for each checkpoint × each scale (steer-scale in routing-gates mode,
+CFG guidance in baseline mode — :1274-1282), generate 3 counterfactual
+classes per real source image (:842-864), batched ([batch_images × 3] per
+UNet batch, :867-975), then score FID / CMMD / Improved P&R per class plus
+a class-balanced multi-seed overall (:978-1179). Writes per-run
+metrics.json and a cross-run comparison.json (:1291-1458) and prints
+throughput (img/s, :1337-1342).
+
+TPU-first: generation is one jitted scan per batch; metric kernel sums run
+on device; feature extraction is batched bf16.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import time
+from dataclasses import asdict, dataclass, field
+from pathlib import Path
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from PIL import Image
+
+from ..core.config import Config, load_config
+from ..data.limuc import LIMUCDataset, _get_clip_processor
+from ..metrics.cmmd import compute_cmmd, l2_normalize
+from ..metrics.fid import fid_from_features
+from ..metrics.prdc import improved_precision_recall
+from ..utils.image_io import AsyncImageWriter
+from ..utils.logging import MetricLogger
+from .common import build_model
+from .infer import load_params
+
+
+@dataclass
+class EvalResult:
+    """Per-run metric bundle (reference EvalResult, :92-153)."""
+
+    checkpoint: str
+    scale: float
+    per_class: Dict[str, Dict[str, float]] = field(default_factory=dict)
+    overall: Dict[str, float] = field(default_factory=dict)
+    throughput_img_s: float = 0.0
+    num_generated: int = 0
+
+    def to_json(self) -> Dict:
+        return asdict(self)
+
+
+def build_argparser():
+    p = argparse.ArgumentParser(description="DADD evaluation sweep (TPU)")
+    p.add_argument("--config", type=str, required=True)
+    p.add_argument("--checkpoints", type=str, nargs="+", default=[None])
+    p.add_argument("--scales", type=float, nargs="+", default=[1.0, 2.0, 3.0])
+    p.add_argument("--data-dir", type=str, required=True)
+    p.add_argument("--split", type=str, default="test")
+    p.add_argument("--batch-images", type=int, default=4)
+    p.add_argument("--sampling-steps", type=int, default=None)
+    p.add_argument("--max-per-class", type=int, default=50)
+    p.add_argument("--image-size", type=int, default=None)
+    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--num-eval-seeds", type=int, default=5)
+    p.add_argument("--ema", action="store_true")
+    p.add_argument("--save-images", action="store_true")
+    p.add_argument("--output-dir", type=str, default="runs/eval")
+    p.add_argument("--inception-params", type=str, default=None)
+    p.add_argument("--vgg-params", type=str, default=None)
+    p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    return p
+
+
+def collect_jobs(ds: LIMUCDataset, num_classes: int, max_per_class: int):
+    """Every source image × the (num_classes−1) other classes (:842-864)."""
+    jobs = []  # (sample_idx, source_label, target_label)
+    per_class_count = {c: 0 for c in range(num_classes)}
+    for idx, (_, lbl) in enumerate(ds.samples):
+        if per_class_count[lbl] >= max_per_class:
+            continue
+        per_class_count[lbl] += 1
+        for tgt in range(num_classes):
+            if tgt != lbl:
+                jobs.append((idx, float(lbl), float(tgt)))
+    return jobs
+
+
+class FeatureBank:
+    """Batched feature extraction for all three metric backbones."""
+
+    def __init__(self, model, clip_params, inception_params=None,
+                 vgg_params=None, batch: int = 32):
+        from ..models.inception import InceptionV3Features, inception_preprocess
+        from ..models.vgg import VGG16Features, imagenet_normalize
+
+        self.batch = batch
+        self.model = model
+        self.clip_params = clip_params
+        self._incep = InceptionV3Features(dtype=jnp.bfloat16)
+        self._vgg = VGG16Features(dtype=jnp.bfloat16)
+        self._incep_params = inception_params
+        self._vgg_params = vgg_params
+        self._inception_preprocess = inception_preprocess
+        self._imagenet_normalize = imagenet_normalize
+        self._jits = {}
+
+    def _ensure_backbone_params(self, images_example):
+        if self._incep_params is None:
+            self._incep_params = self._incep.init(
+                jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.bfloat16)
+            )
+            print("WARNING: random-init InceptionV3 (no --inception-params); "
+                  "FID values are smoke-only")
+        if self._vgg_params is None:
+            from ..utils.fast_init import fast_init
+
+            self._vgg_params = fast_init(
+                self._vgg, jax.random.PRNGKey(1),
+                jnp.zeros((1, 224, 224, 3), jnp.bfloat16),
+            )
+            print("WARNING: random-init VGG16 (no --vgg-params); "
+                  "IPR values are smoke-only")
+
+    def _jit(self, name, fn):
+        if name not in self._jits:
+            self._jits[name] = jax.jit(fn)
+        return self._jits[name]
+
+    def _batched(self, fn_name, fn, params, images) -> np.ndarray:
+        out = []
+        jfn = self._jit(fn_name, fn)
+        for i in range(0, len(images), self.batch):
+            chunk = jnp.asarray(images[i : i + self.batch])
+            out.append(np.asarray(jfn(params, chunk)))
+        return np.concatenate(out, axis=0)
+
+    def inception(self, images: np.ndarray) -> np.ndarray:
+        self._ensure_backbone_params(images)
+
+        def _fn(p, x):
+            return self._incep.apply(p, self._inception_preprocess(
+                x.astype(jnp.bfloat16)))
+
+        return self._batched("incep", _fn, self._incep_params, images)
+
+    def clip(self, images: np.ndarray) -> np.ndarray:
+        """images [0,1] → L2-normalized CLIP projected embeddings.
+
+        The reference re-preprocesses via CLIPImageProcessor (:612-621); we
+        resize+normalize on device with the same mean/std.
+        """
+        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
+        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
+        size = self.model.clip_cfg.image_size
+
+        def _fn(p, x):
+            x = jax.image.resize(
+                x, (x.shape[0], size, size, 3), method="bicubic"
+            )
+            x = (jnp.clip(x, 0, 1) - mean) / std
+            feats = self.model.clip.apply(p, x, method=self.model.clip.image_embeds)
+            return l2_normalize(feats.astype(jnp.float32))
+
+        return self._batched("clipfeat", _fn, self.clip_params, images)
+
+    def vgg(self, images: np.ndarray) -> np.ndarray:
+        self._ensure_backbone_params(images)
+
+        def _fn(p, x):
+            x = jax.image.resize(x, (x.shape[0], 224, 224, 3), method="bilinear")
+            return self._vgg.apply(p, self._imagenet_normalize(
+                x.astype(jnp.bfloat16))).astype(jnp.float32)
+
+        return self._batched("vgg", _fn, self._vgg_params, images)
+
+
+def evaluate_one_run(
+    real_by_class: Dict[int, np.ndarray],
+    fake_by_class: Dict[int, np.ndarray],
+    bank: FeatureBank,
+    num_eval_seeds: int = 5,
+    seed: int = 0,
+) -> Tuple[Dict, Dict]:
+    """Per-class FID/CMMD/IPR + class-balanced multi-seed overall."""
+    per_class: Dict[str, Dict[str, float]] = {}
+    feats = {}
+    for cls in sorted(real_by_class):
+        real, fake = real_by_class[cls], fake_by_class.get(cls)
+        if fake is None or len(fake) < 2 or len(real) < 2:
+            continue
+        fr, ff = bank.inception(real), bank.inception(fake)
+        cr, cf = bank.clip(real), bank.clip(fake)
+        vr, vf = bank.vgg(real), bank.vgg(fake)
+        feats[cls] = dict(fr=fr, ff=ff, cr=cr, cf=cf, vr=vr, vf=vf)
+        p, r = improved_precision_recall(vr, vf)
+        per_class[str(cls)] = {
+            "fid": fid_from_features(fr, ff),
+            "cmmd": compute_cmmd(cr, cf),
+            "precision": p,
+            "recall": r,
+            "n_real": len(real),
+            "n_fake": len(fake),
+        }
+
+    # class-balanced overall: subsample min-count per class, multi-seed
+    overall: Dict[str, float] = {}
+    if feats:
+        n_min_r = min(len(v["fr"]) for v in feats.values())
+        n_min_f = min(len(v["ff"]) for v in feats.values())
+        vals = {"fid": [], "cmmd": [], "precision": [], "recall": []}
+        rng = np.random.default_rng(seed)
+        for _ in range(num_eval_seeds):
+            fr, ff, cr, cf, vr, vf = ([] for _ in range(6))
+            for v in feats.values():
+                ir = rng.choice(len(v["fr"]), n_min_r, replace=False)
+                iff = rng.choice(len(v["ff"]), n_min_f, replace=False)
+                fr.append(v["fr"][ir]); ff.append(v["ff"][iff])
+                cr.append(v["cr"][ir]); cf.append(v["cf"][iff])
+                vr.append(v["vr"][ir]); vf.append(v["vf"][iff])
+            fr, ff = np.concatenate(fr), np.concatenate(ff)
+            cr, cf = np.concatenate(cr), np.concatenate(cf)
+            vr, vf = np.concatenate(vr), np.concatenate(vf)
+            vals["fid"].append(fid_from_features(fr, ff))
+            vals["cmmd"].append(compute_cmmd(cr, cf))
+            p, r = improved_precision_recall(vr, vf)
+            vals["precision"].append(p)
+            vals["recall"].append(r)
+        for k, v in vals.items():
+            overall[k] = float(np.mean(v))
+            overall[k + "_std"] = float(np.std(v))
+    return per_class, overall
+
+
+def generate_all(
+    model,
+    core,
+    clip_params,
+    ds: LIMUCDataset,
+    jobs,
+    scale: float,
+    image_size: int,
+    steps: int,
+    batch_images: int,
+    num_classes: int,
+    seed: int,
+    writer: Optional[AsyncImageWriter] = None,
+    out_dir: Optional[Path] = None,
+    vae_params=None,
+) -> Tuple[Dict[int, np.ndarray], float]:
+    """Batched counterfactual generation (reference generate_all :867-975)."""
+    use_rg = model.core_cfg.use_routing_gates
+    fake_by_class: Dict[int, List[np.ndarray]] = {c: [] for c in range(num_classes)}
+    n_targets = num_classes - 1
+    t0 = time.perf_counter()
+    total = 0
+    key = jax.random.PRNGKey(seed)
+
+    for b in range(0, len(jobs), batch_images * n_targets):
+        chunk = jobs[b : b + batch_images * n_targets]
+        if not chunk:
+            break
+        srcs = np.asarray([j[1] for j in chunk], np.float32)
+        tgts = np.asarray([j[2] for j in chunk], np.float32)
+        clip_imgs = np.stack([ds.load(j[0])["clip_image"] for j in chunk])
+        clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_imgs))
+
+        cond = model.prepare_inference_cond(
+            core, jnp.asarray(tgts), jnp.asarray(srcs), clip_feats
+        )
+        uncond = None
+        guidance = 1.0
+        if not use_rg and scale != 1.0:
+            guidance = scale
+            uncond = model.prepare_inference_cond(
+                core, jnp.asarray(tgts), jnp.asarray(srcs), clip_feats,
+                zero_aoe=True,
+            )
+        key = jax.random.fold_in(key, b)
+        lat = model.sample(
+            core, cond, key, image_size=image_size, sampling_steps=steps,
+            steer_scale=scale if use_rg else 0.0,
+            guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
+        )
+        imgs = np.asarray(model.decode_latents(vae_params, lat))
+        total += len(imgs)
+        for img, tgt, (idx, _, _) in zip(imgs, tgts, chunk):
+            fake_by_class[int(tgt)].append(img)
+            if writer is not None and out_dir is not None:
+                writer.submit(
+                    img, out_dir / f"class_{int(tgt)}" / f"gen_{idx}_{int(tgt)}.png"
+                )
+    dt = time.perf_counter() - t0
+    tput = total / dt if dt > 0 else 0.0
+    return (
+        {c: np.stack(v) if v else np.zeros((0,)) for c, v in fake_by_class.items()},
+        tput,
+    )
+
+
+def main(argv=None):
+    args = build_argparser().parse_args(argv)
+    cfg = load_config(args.config)
+    image_size = args.image_size or cfg.dataset.image_size
+    steps = args.sampling_steps or cfg.diffusion.sampling_steps
+    num_classes = cfg.dataset.num_classes
+    out_root = Path(args.output_dir)
+    out_root.mkdir(parents=True, exist_ok=True)
+
+    model = build_model(cfg, args.dtype)
+    ds = LIMUCDataset(
+        Path(args.data_dir) / args.split,
+        image_size=image_size,
+        return_clip=True,
+        clip_size=model.clip_cfg.image_size,
+        seed=args.seed,
+    )
+    jobs = collect_jobs(ds, num_classes, args.max_per_class)
+    print(f"{len(jobs)} generation jobs from {len(ds)} {args.split} images")
+
+    # real images per class (for metrics)
+    real_by_class: Dict[int, List[np.ndarray]] = {c: [] for c in range(num_classes)}
+    count = {c: 0 for c in range(num_classes)}
+    for idx, (_, lbl) in enumerate(ds.samples):
+        if count[lbl] >= args.max_per_class:
+            continue
+        count[lbl] += 1
+        real_by_class[lbl].append((ds.load(idx)["image"] + 1.0) / 2.0)
+    real_np = {c: np.stack(v) for c, v in real_by_class.items() if v}
+
+    inception_params = vgg_params = None
+    if args.inception_params:
+        from ..convert.io import load_params_npz
+
+        inception_params = load_params_npz(args.inception_params)
+    if args.vgg_params:
+        from ..convert.io import load_params_npz
+
+        vgg_params = load_params_npz(args.vgg_params)
+
+    results: List[EvalResult] = []
+    for ckpt in args.checkpoints:
+        core, vae_params, clip_params = load_params(
+            model, ckpt, args.seed, image_size, args.ema
+        )
+        bank = FeatureBank(model, clip_params, inception_params, vgg_params)
+        for scale in args.scales:
+            run_name = f"{Path(ckpt).stem if ckpt else 'random'}_scale{scale}"
+            run_dir = out_root / run_name
+            run_dir.mkdir(parents=True, exist_ok=True)
+            writer = AsyncImageWriter() if args.save_images else None
+            fake_np, tput = generate_all(
+                model, core, clip_params, ds, jobs, scale, image_size, steps,
+                args.batch_images, num_classes, args.seed,
+                writer=writer, out_dir=run_dir if args.save_images else None,
+                vae_params=vae_params,
+            )
+            if writer:
+                writer.close()
+            per_class, overall = evaluate_one_run(
+                real_np, fake_np, bank, args.num_eval_seeds, args.seed
+            )
+            res = EvalResult(
+                checkpoint=str(ckpt), scale=scale, per_class=per_class,
+                overall=overall, throughput_img_s=tput,
+                num_generated=int(sum(len(v) for v in fake_np.values())),
+            )
+            results.append(res)
+            with open(run_dir / "metrics.json", "w") as f:
+                json.dump(res.to_json(), f, indent=2)
+            print(f"[{run_name}] {tput:.2f} img/s overall={overall}")
+
+    with open(out_root / "comparison.json", "w") as f:
+        json.dump([r.to_json() for r in results], f, indent=2)
+    print(f"Wrote {len(results)} runs → {out_root / 'comparison.json'}")
+    return results
+
+
+if __name__ == "__main__":
+    main()
