@@ -1,0 +1,29 @@
+# Convenience targets (counterpart of the reference Makefile)
+.PHONY: test lint format train train-ip inference evaluate compare-ip bench
+
+test:
+	python -m pytest tests/ -x -q
+
+train:
+	python -m psd_tpu.pipelines.train --config configs/train.yaml
+
+train-ip:
+	bash scripts/run_train_ip.sh
+
+inference:
+	bash scripts/run_inference.sh
+
+evaluate:
+	bash scripts/run_evaluation.sh
+
+compare-ip:
+	bash scripts/compare_ip_checkpoints.sh
+
+bench:
+	python bench.py
+
+lint:
+	python -m ruff check psd_tpu tests || true
+
+format:
+	python -m ruff format psd_tpu tests || true
