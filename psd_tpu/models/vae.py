@@ -51,9 +51,12 @@ class VAEAttention(nn.Module):
         q = nn.Dense(C, name="to_q", **kw)(h)
         k = nn.Dense(C, name="to_k", **kw)(h)
         v = nn.Dense(C, name="to_v", **kw)(h)
-        logits = jnp.einsum("bqc,bkc->bqk", q, k, preferred_element_type=jnp.float32)
-        probs = jax.nn.softmax(logits * (C**-0.5), axis=-1).astype(v.dtype)
-        z = jnp.einsum("bqk,bkc->bqc", probs, v)
+        # single "head" of width C; fused flash path on TPU at 4096 tokens
+        from ..ops.attention import dot_product_attention
+
+        z = dot_product_attention(
+            q[:, :, None, :], k[:, :, None, :], v[:, :, None, :]
+        )[:, :, 0, :]
         z = nn.Dense(C, name="to_out_0", **kw)(z)
         return x + z.reshape(B, H, W, C)
 

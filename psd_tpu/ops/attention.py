@@ -14,12 +14,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 
-_BACKEND = "xla"  # switched to "pallas" by psd_tpu.ops.flash when beneficial
+_BACKEND = "auto"  # "auto": pallas flash on TPU for long self-attn, else XLA
 
 
 def set_attention_backend(name: str) -> None:
     global _BACKEND
-    assert name in ("xla", "pallas")
+    assert name in ("xla", "pallas", "auto")
     _BACKEND = name
 
 
@@ -40,7 +40,7 @@ def dot_product_attention(
     Returns:
         (B, Sq, H, Dh), dtype of q.
     """
-    if _BACKEND == "pallas":
+    if _BACKEND in ("pallas", "auto"):
         from . import flash
 
         out = flash.flash_attention(q, k, v, scale=scale)

@@ -1,0 +1,80 @@
+"""Fused (flash) attention dispatch for TPU.
+
+The SD UNet's self-attention at 512² runs at seq len 4096 where naive
+attention materializes (B,H,4096,4096) fp32 logits — gigabytes of HBM
+traffic per site and the dominant cost of the sampling step (SURVEY.md
+§2.1 row "FlashAttention/SDPA"). This wraps the Pallas TPU flash-attention
+kernel (jax.experimental.pallas.ops.tpu.flash_attention) with:
+
+  * (B, S, H, D) ↔ (B, H, S, D) layout adaptation
+  * block-size selection clamped to the sequence length
+  * graceful fallback (returns None) on CPU or tiny sequences so the
+    caller uses the XLA einsum path (tests run on CPU).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_MIN_SEQ = 512  # below this the einsum path is faster than kernel overhead
+
+
+@functools.lru_cache(maxsize=None)
+def _get_kernel():
+    from jax.experimental.pallas.ops.tpu.flash_attention import (
+        BlockSizes,
+        flash_attention as pallas_flash,
+    )
+
+    return pallas_flash, BlockSizes
+
+
+def _on_tpu() -> bool:
+    try:
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False
+
+
+def flash_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Sk, H, D)
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+) -> Optional[jnp.ndarray]:
+    """Fused attention; returns None when the fallback path should be used."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if Sq < _MIN_SEQ or Sk < _MIN_SEQ or Sq % 128 or Sk % 128:
+        return None
+    if not _on_tpu():
+        return None
+
+    pallas_flash, BlockSizes = _get_kernel()
+    sm_scale = float(scale) if scale is not None else D**-0.5
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    block_q = min(512, Sq)
+    block_k = min(512, Sk)
+    bs = BlockSizes(
+        block_q=block_q,
+        block_k_major=block_k,
+        block_k=block_k,
+        block_b=1,
+        block_q_major_dkv=block_q,
+        block_k_major_dkv=block_k,
+        block_k_dkv=block_k,
+        block_q_dkv=block_q,
+        block_k_major_dq=block_k,
+        block_k_dq=block_k,
+        block_q_dq=block_q,
+    )
+    out = pallas_flash(qt, kt, vt, causal=False, sm_scale=sm_scale, block_sizes=bs)
+    return out.transpose(0, 2, 1, 3).astype(q.dtype)
