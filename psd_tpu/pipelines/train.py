@@ -136,6 +136,24 @@ def main(argv=None):
     t0 = time.perf_counter()
     train_rng = jax.random.PRNGKey(cfg.training.seed + 17)
 
+    # static routing-gate values (the reference logs these per epoch,
+    # diffusion_module_ip.py:464-498; ours are static config — log once)
+    if cfg.model.use_routing_gates:
+        gates = {
+            "gates/anatomy_anat": cfg.model.gate_init_anatomy[0],
+            "gates/anatomy_dis": cfg.model.gate_init_anatomy[1],
+            "gates/disease_anat": cfg.model.gate_init_disease[0],
+            "gates/disease_dis": cfg.model.gate_init_disease[1],
+        }
+        logger.log({"step": 0, **gates})
+
+    def _embed_stats_fn(p):
+        return model.core.apply(
+            p, method=lambda m: m.ordinal_embedder.embedding_stats()
+        )
+
+    embed_stats_jit = jax.jit(_embed_stats_fn)
+
     print(f"Training: {total_steps} steps, {steps_per_epoch} steps/epoch, "
           f"mesh={dict(mesh.shape)}")
     done = False
@@ -158,6 +176,11 @@ def main(argv=None):
                     log_every * cfg.dataset.batch_size / (time.perf_counter() - t0)
                 )
                 t0 = time.perf_counter()
+                # AOE embedding statistics (reference: every 500 steps,
+                # diffusion_module.py:267-271) folded into the log cadence
+                if step % max(log_every * 10, 500) < log_every:
+                    stats = embed_stats_jit(state.params)
+                    m.update({k: float(v) for k, v in stats.items()})
                 logger.log(m)
                 print(f"step {step}: loss={m['loss']:.4f} "
                       f"({m['img_per_sec']:.1f} img/s)")
