@@ -24,7 +24,7 @@ A100_BASELINE_IMG_PER_S = 1.8
 
 IMAGE_SIZE = 512
 STEPS = 50
-BATCH = 16
+BATCH = 8
 
 
 def main() -> None:

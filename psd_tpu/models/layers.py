@@ -123,7 +123,11 @@ class Upsample2D(nn.Module):
     @nn.compact
     def __call__(self, x):
         b, h, w, c = x.shape
-        x = jax.image.resize(x, (b, h * 2, w * 2, c), method="nearest")
+        # nearest ×2 as broadcast+reshape (jax.image.resize lowers to gathers,
+        # which are bandwidth-catastrophic at 512²×512ch in the VAE decoder)
+        x = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, h * 2, w * 2, c)
         return nn.Conv(
             self.channels,
             (3, 3),
@@ -207,23 +211,40 @@ class Attention(nn.Module):
             to_k_dis = nn.Dense(inner_dim, use_bias=False, name="to_k_dis", **kw)
             to_v_dis = nn.Dense(inner_dim, use_bias=False, name="to_v_dis", **kw)
 
-            z_anat = dot_product_attention(q, heads(to_k(anat_tok)), heads(to_v(anat_tok)))
-            z_dis = dot_product_attention(
-                q, heads(to_k_dis(dis_tok)), heads(to_v_dis(dis_tok))
-            )
-            z_delta = dot_product_attention(
-                q, heads(to_k_dis(delta_tok)), heads(to_v_dis(delta_tok))
+            banks = (
+                heads(to_k(anat_tok)), heads(to_v(anat_tok)),
+                heads(to_k_dis(dis_tok)), heads(to_v_dis(dis_tok)),
+                heads(to_k_dis(delta_tok)), heads(to_v_dis(delta_tok)),
             )
             dscale = (
-                jnp.asarray(0.0, self.dtype)
+                jnp.asarray(0.0, jnp.float32)
                 if delta_scale is None
-                else jnp.asarray(delta_scale, self.dtype)
+                else jnp.asarray(delta_scale, jnp.float32)
             )
-            z = (
-                mode.anat_gate * z_anat
-                + mode.dis_gate * z_dis
-                + dscale * z_delta
-            )
+            S = q.shape[1]
+            use_fused = False
+            if S >= 256 and S % 128 == 0:
+                try:
+                    use_fused = jax.default_backend() == "tpu"
+                except Exception:
+                    use_fused = False
+            if use_fused:
+                from ..ops.split3 import split3_attention
+
+                z = split3_attention(
+                    q, *banks, dscale,
+                    anat_gate=mode.anat_gate, dis_gate=mode.dis_gate,
+                    block_q=min(512, S),
+                )
+            else:
+                z_anat = dot_product_attention(q, banks[0], banks[1])
+                z_dis = dot_product_attention(q, banks[2], banks[3])
+                z_delta = dot_product_attention(q, banks[4], banks[5])
+                z = (
+                    mode.anat_gate * z_anat
+                    + mode.dis_gate * z_dis
+                    + dscale.astype(z_anat.dtype) * z_delta
+                )
         elif mode.kind == "split2" and is_cross:
             k, v = heads(to_k(ctx)), heads(to_v(ctx))
             probs = attention_probs(q, k)  # (B,H,Sq,Sk) fp32

@@ -1,0 +1,100 @@
+"""Fused triple-pathway split-injection cross-attention (Pallas TPU kernel).
+
+The reference computes the three pathways as 2–3 SEPARATE full attention
+passes per cross-attention site (attention_processor_routing_gates.py:
+148-178). Each pathway's KV length is tiny (16 tokens), so the natural TPU
+kernel (SURVEY.md §7 "hard parts") reads the query block ONCE from HBM,
+keeps all three K/V banks resident in VMEM, computes the three small
+softmax attentions on the MXU, and writes the gated combination:
+
+    out = g_anat·softmax(qKaᵀ/√d)Va + g_dis·softmax(qKdᵀ/√d)Vd
+        + δ·softmax(qKδᵀ/√d)Vδ
+
+with the gates static per site and δ (delta_scale) a traced scalar in SMEM.
+Falls back to the XLA path off-TPU (the caller handles that); `interpret=`
+mode makes the kernel CPU-testable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(ds_ref, q_ref, ka_ref, va_ref, kd_ref, vd_ref, kl_ref, vl_ref,
+            o_ref, *, scale: float, anat_gate: float, dis_gate: float):
+    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+
+    def att(k_ref, v_ref):
+        k = k_ref[0].astype(jnp.float32)  # (KV, D)
+        v = v_ref[0].astype(jnp.float32)
+        logits = jax.lax.dot_general(
+            q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, KV)
+        p = jax.nn.softmax(logits, axis=-1)
+        return jnp.dot(p, v, preferred_element_type=jnp.float32)
+
+    out = anat_gate * att(ka_ref, va_ref) + dis_gate * att(kd_ref, vd_ref)
+    out = out + ds_ref[0] * att(kl_ref, vl_ref)
+    o_ref[0] = out.astype(o_ref.dtype)
+
+
+def split3_attention(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k_anat: jnp.ndarray,  # (B, Ka, H, D)
+    v_anat: jnp.ndarray,
+    k_dis: jnp.ndarray,  # (B, Kd, H, D)
+    v_dis: jnp.ndarray,
+    k_delta: jnp.ndarray,  # (B, Kl, H, D)
+    v_delta: jnp.ndarray,
+    delta_scale: jnp.ndarray,  # scalar
+    anat_gate: float,
+    dis_gate: float,
+    scale: Optional[float] = None,
+    block_q: int = 512,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Fused gated triple attention; output (B, S, H, D) in q.dtype."""
+    B, S, H, D = q.shape
+    scale = scale if scale is not None else D**-0.5
+    block_q = min(block_q, S)
+    assert S % block_q == 0, (S, block_q)
+
+    # fold heads into the grid: operate on (B*H, S, D)
+    def fold(t):
+        return t.transpose(0, 2, 1, 3).reshape(B * H, t.shape[1], D)
+
+    qf = fold(q)
+    banks = [fold(t) for t in (k_anat, v_anat, k_dis, v_dis, k_delta, v_delta)]
+
+    grid = (B * H, S // block_q)
+    # KV banks are tiny → they live fully in VMEM blocks
+    def kv_block(t):
+        return pl.BlockSpec((1, t.shape[1], D), lambda bh, i: (bh, 0, 0))
+
+    out = pl.pallas_call(
+        functools.partial(
+            _kernel, scale=scale, anat_gate=anat_gate, dis_gate=dis_gate
+        ),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # delta_scale (1,)
+            pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
+            kv_block(banks[0]),
+            kv_block(banks[1]),
+            kv_block(banks[2]),
+            kv_block(banks[3]),
+            kv_block(banks[4]),
+            kv_block(banks[5]),
+        ],
+        out_specs=pl.BlockSpec((1, block_q, D), lambda bh, i: (bh, i, 0)),
+        out_shape=jax.ShapeDtypeStruct((B * H, S, D), q.dtype),
+        interpret=interpret,
+    )(jnp.asarray(delta_scale, jnp.float32).reshape(1), qf, *banks)
+
+    return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
