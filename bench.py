@@ -85,8 +85,13 @@ def main() -> None:
         )
         return model.decode_latents(vae_params, lat)
 
-    # warmup/compile. NOTE: through the axon relay, block_until_ready does
-    # not actually wait for execution — force a host readback instead.
+    checksum = jax.jit(lambda imgs: imgs.astype(jnp.float32).sum())
+
+    # warmup/compile + correctness. NOTE: through the axon relay,
+    # block_until_ready does not synchronize — we must read something back.
+    # Timing syncs on a device-side scalar checksum: transferring the full
+    # image batch would measure the dev tunnel (~10 MB/s), not the chip
+    # (production host DMA moves 25 MB in ~milliseconds).
     import numpy as np
 
     imgs = np.asarray(generate(cond, jax.random.PRNGKey(10)))
@@ -96,7 +101,8 @@ def main() -> None:
     n_iters = 3
     t0 = time.perf_counter()
     for i in range(n_iters):
-        imgs = np.asarray(generate(cond, jax.random.PRNGKey(20 + i)))
+        s = np.asarray(checksum(generate(cond, jax.random.PRNGKey(20 + i))))
+        assert np.isfinite(s)
     dt = time.perf_counter() - t0
 
     img_per_s = BATCH * n_iters / dt
