@@ -23,6 +23,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.norms import GroupNorm
 from ..ops.attention import attention_probs, dot_product_attention
 
 
@@ -83,13 +84,13 @@ class ResnetBlock2D(nn.Module):
     def __call__(self, x, temb=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         in_ch = x.shape[-1]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1", **kw)(x)
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm1", **kw)(x)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv1", **kw)(h)
         if self.use_temb:
             emb = nn.Dense(self.out_channels, name="time_emb_proj", **kw)(nn.silu(temb))
             h = h + emb[:, None, None, :]
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2", **kw)(h)
+        h = GroupNorm(num_groups=self.groups, epsilon=self.eps, name="norm2", **kw)(h)
         h = nn.silu(h)
         h = nn.Conv(self.out_channels, (3, 3), padding=1, name="conv2", **kw)(h)
         if in_ch != self.out_channels:
@@ -326,7 +327,7 @@ class Transformer2D(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         B, H, W, C = x.shape
         residual = x
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
+        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
         h = nn.Conv(C, (1, 1), name="proj_in", **kw)(h)
         h = h.reshape(B, H * W, C)
         for d in range(self.depth):

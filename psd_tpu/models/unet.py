@@ -22,6 +22,7 @@ from typing import Optional, Tuple
 import flax.linen as nn
 import jax.numpy as jnp
 
+from ..ops.norms import GroupNorm
 from .layers import (
     CrossAttnMode,
     Downsample2D,
@@ -192,7 +193,7 @@ class UNet2DCondition(nn.Module):
                 h = Upsample2D(out_ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(h)
 
         # --- out ---
-        h = nn.GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out", **kw)(h)
+        h = GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
                     dtype=jnp.float32, param_dtype=cfg.param_dtype)(h.astype(jnp.float32))

@@ -19,6 +19,7 @@ import flax.linen as nn
 import jax
 import jax.numpy as jnp
 
+from ..ops.norms import GroupNorm
 from .layers import ResnetBlock2D, Upsample2D
 
 
@@ -46,7 +47,7 @@ class VAEAttention(nn.Module):
     def __call__(self, x):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         B, H, W, C = x.shape
-        h = nn.GroupNorm(num_groups=self.groups, epsilon=1e-6, name="group_norm", **kw)(x)
+        h = GroupNorm(num_groups=self.groups, epsilon=1e-6, name="group_norm", **kw)(x)
         h = h.reshape(B, H * W, C)
         q = nn.Dense(C, name="to_q", **kw)(h)
         k = nn.Dense(C, name="to_k", **kw)(h)
@@ -99,7 +100,7 @@ class Encoder(nn.Module):
                             name=f"down_blocks_{i}_downsamplers_0", **kw)(h)
         h = VAEMidBlock(cfg.block_out_channels[-1], name="mid_block",
                         dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
+        h = GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
                          name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
         return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out",
@@ -126,7 +127,7 @@ class Decoder(nn.Module):
                                   name=f"up_blocks_{i}_resnets_{j}", **kw)(h)
             if i < n - 1:
                 h = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(h)
-        h = nn.GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
+        h = GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
                          name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
         return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
