@@ -29,10 +29,12 @@ def group_norm(
     spatial_axes = tuple(range(1, x.ndim - 1))
     n_per_group = (x.size // x.shape[0] // C) * (C // G)
 
-    xf = x.astype(jnp.float32)
-    # one lane-aligned pass: per-channel sum and sum of squares over space
-    s1 = jnp.sum(xf, axis=spatial_axes)  # (B, C)
-    s2 = jnp.sum(xf * xf, axis=spatial_axes)  # (B, C)
+    # one lane-aligned pass over the (possibly bf16) data with fp32
+    # accumulation: per-channel sum and sum of squares over space
+    s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
+    s2 = jnp.sum(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=spatial_axes
+    )  # (B, C) — fp32 squares, XLA fuses into the same pass
     B = s1.shape[0]
     g1 = s1.reshape(B, G, C // G).sum(-1)  # (B, G)
     g2 = s2.reshape(B, G, C // G).sum(-1)
@@ -46,9 +48,11 @@ def group_norm(
     w = inv_c * scale.astype(jnp.float32)[None, :]  # (B, C)
     b = bias.astype(jnp.float32)[None, :] - mean_c * w
 
+    # apply in the input dtype: normalized activations are O(1), bf16 is
+    # plenty, and it halves the bandwidth of the normalize pass
     shape = (B,) + (1,) * (x.ndim - 2) + (C,)
-    out = xf * w.reshape(shape) + b.reshape(shape)
-    return out.astype(orig_dtype)
+    out = x * w.astype(orig_dtype).reshape(shape) + b.astype(orig_dtype).reshape(shape)
+    return out
 
 
 class GroupNorm(nn.Module):

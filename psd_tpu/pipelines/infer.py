@@ -52,6 +52,9 @@ def build_argparser() -> argparse.ArgumentParser:
     p.add_argument("--zero-image", action="store_true")
     p.add_argument("--leace", type=str, default=None, help=".npz LEACE projection")
     p.add_argument("--ema", action="store_true", help="sample with EMA weights")
+    p.add_argument("--device", type=str, default="auto",
+                   help="accepted for reference-CLI compatibility; device "
+                        "selection is JAX-platform-driven here")
     p.add_argument("--output-dir", type=str, default="outputs/progression")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     return p
