@@ -22,9 +22,16 @@ class EMAState(NamedTuple):
     count: jnp.ndarray  # number of EMA updates applied (0 → uninitialized)
 
 
-def ema_init(params) -> EMAState:
+def ema_init(params, dtype=None) -> EMAState:
+    """dtype=jnp.bfloat16 halves EMA HBM (useful for single-chip SD-scale
+    training where fp32 AdamW state + params + EMA exceed 16 GB)."""
+    def _cp(x):
+        if dtype is not None and jnp.issubdtype(x.dtype, jnp.floating):
+            return x.astype(dtype)
+        return jnp.copy(x)
+
     return EMAState(
-        params=jax.tree_util.tree_map(jnp.copy, params),
+        params=jax.tree_util.tree_map(_cp, params),
         count=jnp.zeros((), jnp.int32),
     )
 

@@ -19,7 +19,9 @@ import numpy as np
 
 def enable_compile_cache(path: str | Path = None) -> None:
     """Persistent compilation cache: second runs of bench/entry skip XLA."""
-    path = Path(path or os.environ.get("PSD_TPU_CACHE", "/root/.psd_tpu_jax_cache"))
+    path = Path(path or os.environ.get(
+        "PSD_TPU_CACHE", Path(__file__).resolve().parent.parent.parent / ".jax_cache"
+    ))
     path.mkdir(parents=True, exist_ok=True)
     try:
         jax.config.update("jax_compilation_cache_dir", str(path))
