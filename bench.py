@@ -98,14 +98,17 @@ def main() -> None:
     assert imgs.shape == (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
     assert np.isfinite(imgs).all()
 
-    n_iters = 3
-    t0 = time.perf_counter()
+    # per-iteration timing with a median: the shared dev chip shows
+    # occasional 50%+ transients (neighbor contention / late compiles)
+    n_iters = 5
+    times = []
     for i in range(n_iters):
+        t0 = time.perf_counter()
         s = np.asarray(checksum(generate(cond, jax.random.PRNGKey(20 + i))))
         assert np.isfinite(s)
-    dt = time.perf_counter() - t0
+        times.append(time.perf_counter() - t0)
 
-    img_per_s = BATCH * n_iters / dt
+    img_per_s = BATCH / float(np.median(times))
     print(
         json.dumps(
             {
