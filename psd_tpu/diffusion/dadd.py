@@ -478,7 +478,8 @@ class DADD:
         if key not in cache:
             from functools import partial
 
-            cache[key] = jax.jit(partial(self._sample_impl, **static))
+            impl_kwargs = {k: v for k, v in static.items() if k != "dp_sharded"}
+            cache[key] = jax.jit(partial(self._sample_impl, **impl_kwargs))
         return cache[key]
 
     def sample(
@@ -494,6 +495,7 @@ class DADD:
         cond_uncond: Optional[jnp.ndarray] = None,
         shared_noise: bool = True,
         eta_key: Optional[jax.Array] = None,
+        mesh=None,
     ) -> jnp.ndarray:
         """DDIM sampling; returns scaled latents (B, h, w, 4).
 
@@ -501,6 +503,10 @@ class DADD:
         the reference's 'same noise for all MES levels' behavior
         (inference_pipeline_ip.py:376-385). The whole sampler is ONE jitted
         program (scan over steps); steer/guidance scales are traced.
+
+        With a `mesh`, the batch shards over the dp axis (params replicated)
+        so serving throughput scales across chips via ICI — the multi-chip
+        counterpart the reference lacks (SURVEY.md §2.2).
         """
         steps = sampling_steps or self.cfg.diffusion.sampling_steps
         do_cfg = cond_uncond is not None
@@ -510,11 +516,24 @@ class DADD:
             eta=eta,
             shared_noise=shared_noise,
             do_cfg=do_cfg,
+            dp_sharded=mesh is not None,
         )
+        uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            bsh = batch_sharding(mesh)
+            spec3 = NamedSharding(mesh, P(bsh.spec[0], None, None))
+            cond = jax.device_put(cond, spec3)
+            uncond_arg = jax.device_put(uncond_arg, spec3)
+            core_params = jax.device_put(
+                core_params, NamedSharding(mesh, P())
+            )
         return fn(
             core_params,
             cond,
-            cond_uncond if do_cfg else jnp.zeros_like(cond),
+            uncond_arg,
             key,
             eta_key if eta_key is not None else key,
             jnp.asarray(steer_scale, jnp.float32),
