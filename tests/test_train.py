@@ -17,7 +17,7 @@ from psd_tpu.train import (
     warmup_cosine_epochwise,
 )
 
-from .test_dadd import tiny_dadd
+from psd_tpu.testing import tiny_dadd
 
 
 def test_warmup_cosine_epochwise():
