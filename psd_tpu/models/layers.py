@@ -234,8 +234,7 @@ class Attention(nn.Module):
 
                 z = split3_attention(
                     q, *banks, dscale,
-                    anat_gate=mode.anat_gate, dis_gate=mode.dis_gate,
-                    block_q=min(512, S),
+                    mode.anat_gate, mode.dis_gate, None, min(512, S),
                 )
             else:
                 z_anat = dot_product_attention(q, banks[0], banks[1])

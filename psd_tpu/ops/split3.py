@@ -44,6 +44,22 @@ def _kernel(ds_ref, q_ref, ka_ref, va_ref, kd_ref, vd_ref, kl_ref, vl_ref,
     o_ref[0] = out.astype(o_ref.dtype)
 
 
+def _xla_split3(q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta,
+                delta_scale, anat_gate, dis_gate, scale):
+    """Reference math in plain jnp — used for the backward pass (the KV
+    banks are 16 tokens, so recomputation is negligible) and as the
+    off-TPU fallback in tests."""
+    from .attention import dot_product_attention
+
+    z = anat_gate * dot_product_attention(q, k_anat, v_anat, scale=scale)
+    z = z + dis_gate * dot_product_attention(q, k_dis, v_dis, scale=scale)
+    z = z + delta_scale.astype(z.dtype) * dot_product_attention(
+        q, k_delta, v_delta, scale=scale
+    )
+    return z
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(8, 9, 10, 11, 12))
 def split3_attention(
     q: jnp.ndarray,  # (B, S, H, D)
     k_anat: jnp.ndarray,  # (B, Ka, H, D)
@@ -53,8 +69,8 @@ def split3_attention(
     k_delta: jnp.ndarray,  # (B, Kl, H, D)
     v_delta: jnp.ndarray,
     delta_scale: jnp.ndarray,  # scalar
-    anat_gate: float,
-    dis_gate: float,
+    anat_gate: float = 0.5,
+    dis_gate: float = 0.5,
     scale: Optional[float] = None,
     block_q: int = 512,
     interpret: bool = False,
@@ -98,3 +114,27 @@ def split3_attention(
     )(jnp.asarray(delta_scale, jnp.float32).reshape(1), qf, *banks)
 
     return out.reshape(B, H, S, D).transpose(0, 2, 1, 3)
+
+
+def _split3_fwd(q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta,
+                delta_scale, anat_gate, dis_gate, scale, block_q, interpret):
+    out = split3_attention(
+        q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta, delta_scale,
+        anat_gate, dis_gate, scale, block_q, interpret,
+    )
+    residuals = (q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta, delta_scale)
+    return out, residuals
+
+
+def _split3_bwd(anat_gate, dis_gate, scale, block_q, interpret, residuals, g):
+    """Backward via the XLA-math reference: KV length is 16 per bank, so
+    recomputing the three small attentions costs ~nothing relative to the
+    surrounding UNet backward."""
+    def ref(*args):
+        return _xla_split3(*args, anat_gate, dis_gate, scale)
+
+    _, vjp_fn = jax.vjp(ref, *residuals)
+    return vjp_fn(g)
+
+
+split3_attention.defvjp(_split3_fwd, _split3_bwd)
