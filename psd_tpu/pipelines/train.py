@@ -53,7 +53,8 @@ def build_argparser():
 
 
 def main(argv=None):
-    args = build_argparser().parse_args(argv)
+    # intermixed: dotted overrides may appear anywhere among flags
+    args = build_argparser().parse_intermixed_args(argv)
     cfg = load_config(args.config, overrides=args.overrides)
     enable_compile_cache()
 

@@ -80,3 +80,34 @@ def test_train_cli_smoke(tmp_path):
     assert int(state.step) == 3
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert (tmp_path / "run" / "checkpoints").exists()
+
+
+def test_train_resume_after_preemption(tmp_path):
+    """Preemption tolerance: kill training mid-run, resume from 'last'
+    (SURVEY.md §5 failure-detection gap the TPU build fills)."""
+    rng = np.random.default_rng(1)
+    data_root = tmp_path / "data" / "train"
+    for c in range(4):
+        d = data_root / f"Mayo_{c}"
+        d.mkdir(parents=True)
+        for i in range(3):
+            Image.fromarray(
+                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            ).save(d / f"im{i}.png")
+
+    from psd_tpu.pipelines.train import main
+
+    common = [
+        "--config", "configs/tiny_smoke.yaml",
+        f"dataset.dataset_path={tmp_path / 'data'}",
+        "dataset.batch_size=4",
+        "training.log_every_n_steps=1",
+        "--dp", "1",
+        "--output-dir", str(tmp_path / "run"),
+    ]
+    state1 = main(common + ["--max-steps", "3"])
+    assert int(state1.step) == 3
+    # resume ("last") and continue to step 5
+    state2 = main(common + ["--max-steps", "5",
+                            "training.resume_checkpoint=last"])
+    assert int(state2.step) == 5
