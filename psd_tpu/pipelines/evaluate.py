@@ -375,6 +375,9 @@ def main(argv=None):
 
     with open(out_root / "comparison.json", "w") as f:
         json.dump([r.to_json() for r in results], f, indent=2)
+    from ..metrics.comparison import comparison_table
+
+    print(comparison_table([r.to_json() for r in results]))
     print(f"Wrote {len(results)} runs → {out_root / 'comparison.json'}")
     return results
 

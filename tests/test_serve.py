@@ -1,0 +1,43 @@
+"""Micro-batching generation server tests (tiny config)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from psd_tpu.pipelines.serve import GenerationServer
+from psd_tpu.testing import tiny_dadd
+
+
+def test_server_batches_and_fulfills():
+    model = tiny_dadd()
+    core = model.init_core(jax.random.PRNGKey(0), image_size=32)
+    vae = model.vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                         jax.random.PRNGKey(2))
+    server = GenerationServer(model, core, vae, image_size=32,
+                              sampling_steps=2, max_batch=4, max_wait_s=0.2)
+    rng = np.random.default_rng(0)
+    futures = [
+        server.submit(rng.normal(size=(17, 32)).astype(np.float32),
+                      target_label=t, source_label=1.0, seed=0)
+        for t in [0.0, 1.0, 2.0, 3.0, 1.5]  # 5 requests > max_batch
+    ]
+    images = [f.result(timeout=300) for f in futures]
+    server.close()
+    assert all(img.shape == (32, 32, 3) for img in images)
+    assert all(np.isfinite(img).all() for img in images)
+    # different targets produce different images
+    assert not np.allclose(images[0], images[3])
+
+
+def test_server_partial_batch_padding():
+    model = tiny_dadd()
+    core = model.init_core(jax.random.PRNGKey(0), image_size=32)
+    vae = model.vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                         jax.random.PRNGKey(2))
+    server = GenerationServer(model, core, vae, image_size=32,
+                              sampling_steps=2, max_batch=8, max_wait_s=0.05)
+    rng = np.random.default_rng(1)
+    f = server.submit(rng.normal(size=(17, 32)).astype(np.float32), 2.0, 0.0)
+    img = f.result(timeout=300)
+    server.close()
+    assert img.shape == (32, 32, 3)
