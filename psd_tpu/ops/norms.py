@@ -15,6 +15,50 @@ import flax.linen as nn
 import jax.numpy as jnp
 
 
+def group_norm_fold(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: jnp.ndarray,
+    num_groups: int = 32,
+    eps: float = 1e-5,
+    shift: jnp.ndarray | None = None,  # (B, C) virtual per-channel addition
+):
+    """Per-(batch, channel) affine fold of GroupNorm: returns (w, b) fp32
+    (B, C) such that GN(x + shift)·scale+bias == x·w + b. One lane-aligned
+    stats pass; `shift` folds the resblock's timestep-embedding addition
+    analytically (s1' = s1 + n·t, s2' = s2 + 2·t·s1 + n·t²) so h+temb is
+    never materialized. Used standalone and by the fused resblock kernel."""
+    C = x.shape[-1]
+    G = num_groups
+    assert C % G == 0, (C, G)
+    spatial_axes = tuple(range(1, x.ndim - 1))
+    n_spatial = x.size // x.shape[0] // C
+    n_per_group = n_spatial * (C // G)
+
+    s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
+    s2 = jnp.sum(
+        x.astype(jnp.float32) * x.astype(jnp.float32), axis=spatial_axes
+    )
+    if shift is not None:
+        t = shift.astype(jnp.float32)
+        s2 = s2 + 2.0 * t * s1 + n_spatial * t * t
+        s1 = s1 + n_spatial * t
+    B = s1.shape[0]
+    g1 = s1.reshape(B, G, C // G).sum(-1)
+    g2 = s2.reshape(B, G, C // G).sum(-1)
+    mean_g = g1 / n_per_group
+    var_g = g2 / n_per_group - mean_g**2
+    inv_g = jnp.reciprocal(jnp.sqrt(var_g + eps))
+    mean_c = jnp.repeat(mean_g, C // G, axis=-1)
+    inv_c = jnp.repeat(inv_g, C // G, axis=-1)
+    w = inv_c * scale.astype(jnp.float32)[None, :]
+    b = bias.astype(jnp.float32)[None, :] - mean_c * w
+    if shift is not None:
+        # normalize(x + t) = w·x + (b + w·t)
+        b = b + w * shift.astype(jnp.float32)
+    return w, b
+
+
 def group_norm(
     x: jnp.ndarray,  # (B, H, W, C) or (B, S, C)
     scale: jnp.ndarray,  # (C,)
@@ -24,30 +68,8 @@ def group_norm(
 ) -> jnp.ndarray:
     orig_dtype = x.dtype
     C = x.shape[-1]
-    G = num_groups
-    assert C % G == 0, (C, G)
-    spatial_axes = tuple(range(1, x.ndim - 1))
-    n_per_group = (x.size // x.shape[0] // C) * (C // G)
-
-    # one lane-aligned pass over the (possibly bf16) data with fp32
-    # accumulation: per-channel sum and sum of squares over space
-    s1 = jnp.sum(x, axis=spatial_axes, dtype=jnp.float32)  # (B, C)
-    s2 = jnp.sum(
-        x.astype(jnp.float32) * x.astype(jnp.float32), axis=spatial_axes
-    )  # (B, C) — fp32 squares, XLA fuses into the same pass
-    B = s1.shape[0]
-    g1 = s1.reshape(B, G, C // G).sum(-1)  # (B, G)
-    g2 = s2.reshape(B, G, C // G).sum(-1)
-    mean_g = g1 / n_per_group
-    var_g = g2 / n_per_group - mean_g**2
-    inv_g = jnp.reciprocal(jnp.sqrt(var_g + eps))
-
-    # expand group stats to channels, fold affine params in
-    mean_c = jnp.repeat(mean_g, C // G, axis=-1)  # (B, C)
-    inv_c = jnp.repeat(inv_g, C // G, axis=-1)
-    w = inv_c * scale.astype(jnp.float32)[None, :]  # (B, C)
-    b = bias.astype(jnp.float32)[None, :] - mean_c * w
-
+    w, b = group_norm_fold(x, scale, bias, num_groups, eps)
+    B = w.shape[0]
     # apply in the input dtype: normalized activations are O(1), bf16 is
     # plenty, and it halves the bandwidth of the normalize pass
     shape = (B,) + (1,) * (x.ndim - 2) + (C,)
@@ -56,7 +78,11 @@ def group_norm(
 
 
 class GroupNorm(nn.Module):
-    """Drop-in replacement for nn.GroupNorm (same param names: scale/bias)."""
+    """Drop-in replacement for nn.GroupNorm (same param names: scale/bias).
+
+    fold_only=True returns the per-(batch, channel) affine (w, b) instead of
+    the normalized tensor — consumed by the fused resblock kernel; `shift`
+    folds a virtual per-channel addition into the statistics."""
 
     num_groups: int = 32
     epsilon: float = 1e-5
@@ -64,8 +90,11 @@ class GroupNorm(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, fold_only: bool = False, shift=None):
         C = x.shape[-1]
         scale = self.param("scale", nn.initializers.ones, (C,), self.param_dtype)
         bias = self.param("bias", nn.initializers.zeros, (C,), self.param_dtype)
+        if fold_only:
+            return group_norm_fold(x, scale, bias, self.num_groups,
+                                   self.epsilon, shift=shift)
         return group_norm(x, scale, bias, self.num_groups, self.epsilon)
