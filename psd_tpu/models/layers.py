@@ -98,9 +98,21 @@ class Conv3x3(nn.Module):
 
 def _fused_resblock_ok(x) -> bool:
     """Gate the fused Pallas resblock: TPU backend, sizeable spatial dims
-    (where the HBM savings matter and VMEM fits), aligned rows."""
+    (where the HBM savings matter and VMEM fits), aligned rows.
+
+    Default OFF (PSD_TPU_FUSED_RESBLOCK=1 to enable): measured at parity
+    with XLA's per-op pipeline — blocked fusion re-streams conv weights per
+    row-block, cancelling the activation-pass savings (docs/perf_notes.md).
+    Kept as correctness-tested groundwork for a weight-resident variant."""
+    import os
+
+    if os.environ.get("PSD_TPU_FUSED_RESBLOCK") != "1":
+        return False
     B, H, W, C = x.shape
     if H < 16 or W < 16 or H % 8 or W % 8:
+        return False
+    if C % 128 != 0:
+        # Mosaic DMA lane constraint: channel slices must be ×128
         return False
     if (3 * 3 * C * 256 * 2) > 8 * 1024 * 1024:  # weight block VMEM budget
         return False

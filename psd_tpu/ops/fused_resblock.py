@@ -42,66 +42,61 @@ def _xla_reference(x, gn_w, gn_b, w, b, shortcut):
 def _make_kernel(BR, W, Cin, BC, n_row_blocks, has_shortcut):
     def kernel(x_hbm, gnw_ref, gnb_ref, w_ref, b_ref, *rest):
         if has_shortcut:
-            sc_ref, o_ref, xbuf, sem = rest
+            sc_ref, o_ref, load_buf, act_buf, sem = rest
         else:
-            o_ref, xbuf, sem = rest
+            o_ref, load_buf, act_buf, sem = rest
         bi = pl.program_id(0)
         r = pl.program_id(1)
 
-        # load + activate the row slab once; reuse across cout blocks
+        # load + activate the row slab once; reuse across cout blocks.
+        # act_buf rows: [0]=top halo, [1..BR]=interior, [BR+1]=bottom halo.
+        # Rolls (fp32 — Mosaic rotate needs 32-bit) replace all sublane/lane
+        # slicing, which Mosaic's tiling constraints forbid.
         @pl.when(pl.program_id(2) == 0)
         def _load():
-            xbuf[...] = jnp.zeros_like(xbuf)
-            main = pltpu.make_async_copy(
-                x_hbm.at[bi, pl.ds(r * BR, BR), :, :],
-                xbuf.at[pl.ds(1, BR), pl.ds(1, W), :],
+            H = n_row_blocks * BR
+            win = min(BR + 2, H)
+            lo = jnp.clip(r * BR - 1, 0, H - win)
+            dma = pltpu.make_async_copy(
+                x_hbm.at[bi, pl.ds(lo, win), :, :],
+                load_buf.at[pl.ds(0, win), :, :],
                 sem.at[0],
             )
-            main.start()
+            dma.start()
+            dma.wait()
 
-            @pl.when(r > 0)
-            def _top():
-                top = pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds(r * BR - 1, 1), :, :],
-                    xbuf.at[pl.ds(0, 1), pl.ds(1, W), :],
-                    sem.at[1],
-                )
-                top.start()
-                top.wait()
+            gw = gnw_ref[bi].astype(jnp.float32)
+            gb = gnb_ref[bi].astype(jnp.float32)
+            act = jax.nn.silu(load_buf[...].astype(jnp.float32) * gw + gb)
+            # align interior rows to [1..BR]: circular roll by (1 − offset)
+            shift = (1 - (r * BR - lo)) % (BR + 2)
+            act = pltpu.roll(act, shift, 0)
+            rows = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, W, 1), 0)
+            valid = ((rows >= 1) | (r > 0)) & (
+                (rows <= BR) | (r < n_row_blocks - 1)
+            )
+            act_buf[...] = jnp.where(valid, act, jnp.zeros_like(act))
 
-            @pl.when(r < n_row_blocks - 1)
-            def _bot():
-                bot = pltpu.make_async_copy(
-                    x_hbm.at[bi, pl.ds((r + 1) * BR, 1), :, :],
-                    xbuf.at[pl.ds(BR + 1, 1), pl.ds(1, W), :],
-                    sem.at[2],
-                )
-                bot.start()
-                bot.wait()
-
-            main.wait()
-            gw = gnw_ref[0].astype(jnp.float32)
-            gb = gnb_ref[0].astype(jnp.float32)
-            act = jax.nn.silu(
-                xbuf[...].astype(jnp.float32) * gw + gb
-            ).astype(xbuf.dtype)
-            # conv zero-padding: halo cells outside the image must stay 0
-            rows = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, W + 2, 1), 0)
-            cols = jax.lax.broadcasted_iota(jnp.int32, (BR + 2, W + 2, 1), 1)
-            valid = (cols >= 1) & (cols <= W)
-            valid &= (rows >= 1) | (r > 0)
-            valid &= (rows <= BR) | (r < n_row_blocks - 1)
-            xbuf[...] = jnp.where(valid, act, jnp.zeros_like(act))
-
-        # 3×3 conv as 9 shifted matmuls on the MXU
+        # 3×3 conv as 9 shifted matmuls on the MXU; dx shifts via roll with
+        # edge-column masking (zero-padding semantics)
+        in_dtype = o_ref.dtype
+        cols = jax.lax.broadcasted_iota(jnp.int32, (BR, W, 1), 1)
         acc = jnp.zeros((BR * W, BC), jnp.float32)
         for dy in range(3):
+            rows_slab = act_buf[pl.ds(dy, BR), :, :]
             for dx in range(3):
-                patch = xbuf[pl.ds(dy, BR), pl.ds(dx, W), :].reshape(
-                    BR * W, Cin
-                )
+                if dx == 1:
+                    patch = rows_slab
+                elif dx == 0:
+                    patch = pltpu.roll(rows_slab, 1, 1)
+                    patch = jnp.where(cols >= 1, patch, jnp.zeros_like(patch))
+                else:
+                    patch = pltpu.roll(rows_slab, W - 1, 1)
+                    patch = jnp.where(cols <= W - 2, patch,
+                                      jnp.zeros_like(patch))
                 acc = acc + jnp.dot(
-                    patch, w_ref[dy, dx, :, :],
+                    patch.astype(in_dtype).reshape(BR * W, Cin),
+                    w_ref[dy, dx, :, :],
                     preferred_element_type=jnp.float32,
                 )
         acc = acc + b_ref[...].astype(jnp.float32)
@@ -131,16 +126,30 @@ def fused_gn_silu_conv3x3(
     B, H, W_, Cin = x.shape
     Cout = w.shape[-1]
     BR = min(block_rows, H)
+    if Cin > 1280:
+        BR = min(BR, 8)
     assert H % BR == 0, (H, BR)
-    BC = Cout if Cout <= 512 else 256
+    # largest divisor of Cout whose (3,3,Cin,BC) weight block fits the
+    # VMEM budget
+    budget = 6 * 1024 * 1024
+    bc_max = max(budget // (9 * Cin * 2), 128)
+    BC = Cout
+    if Cout > 512 or 9 * Cin * Cout * 2 > budget:
+        # partial channel blocks must be multiples of 128 (Mosaic tiling)
+        for cand in (512, 384, 256, 128):
+            if Cout % cand == 0 and cand <= bc_max:
+                BC = cand
+                break
+        else:
+            BC = Cout  # fall back to full (small Cout)
     assert Cout % BC == 0, (Cout, BC)
     n_row_blocks = H // BR
     has_shortcut = shortcut is not None
 
     in_specs = [
         pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
-        pl.BlockSpec((1, Cin), lambda bi, r, c: (bi, 0)),
-        pl.BlockSpec((1, Cin), lambda bi, r, c: (bi, 0)),
+        pl.BlockSpec((B, Cin), lambda bi, r, c: (0, 0)),  # gn vectors: full
+        pl.BlockSpec((B, Cin), lambda bi, r, c: (0, 0)),
         pl.BlockSpec((3, 3, Cin, BC), lambda bi, r, c: (0, 0, 0, c)),
         pl.BlockSpec((1, BC), lambda bi, r, c: (0, c)),
     ]
@@ -159,8 +168,9 @@ def fused_gn_silu_conv3x3(
         out_specs=pl.BlockSpec((1, BR, W_, BC), lambda bi, r, c: (bi, r, 0, c)),
         out_shape=jax.ShapeDtypeStruct((B, H, W_, Cout), x.dtype),
         scratch_shapes=[
-            pltpu.VMEM((BR + 2, W_ + 2, Cin), x.dtype),
-            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.VMEM((BR + 2, W_, Cin), x.dtype),
+            pltpu.VMEM((BR + 2, W_, Cin), jnp.float32),
+            pltpu.SemaphoreType.DMA((1,)),
         ],
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
