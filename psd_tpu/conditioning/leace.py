@@ -9,7 +9,7 @@ P = I − V_r V_rᵀ; apply re-centers around the training mean.
 
 from __future__ import annotations
 
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax.numpy as jnp
 import numpy as np

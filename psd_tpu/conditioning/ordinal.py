@@ -20,8 +20,6 @@ returning (B, D) unprojected embeddings for the base ordinal-only module.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
-
 import flax.linen as nn
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,7 @@ Capability match to src/classification/dataset.py:
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, List, Optional, Tuple
+from typing import Dict, List, Tuple
 
 import numpy as np
 from PIL import Image, ImageEnhance

@@ -18,7 +18,6 @@ inference_pipeline_ip.py:311-318 — an anti-pattern under jit).
 from __future__ import annotations
 
 from dataclasses import dataclass
-from functools import partial
 from typing import Callable, Optional
 
 import jax

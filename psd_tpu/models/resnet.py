@@ -11,8 +11,6 @@ from __future__ import annotations
 
 from dataclasses import dataclass
 from functools import partial
-from typing import Optional, Sequence, Tuple
-
 import flax.linen as nn
 import jax.numpy as jnp
 

@@ -27,13 +27,12 @@ import jax.numpy as jnp
 import numpy as np
 from PIL import Image
 
-from ..core.config import Config, load_config
-from ..data.limuc import LIMUCDataset, _get_clip_processor
+from ..core.config import load_config
+from ..data.limuc import LIMUCDataset
 from ..metrics.cmmd import compute_cmmd, l2_normalize
 from ..metrics.fid import fid_from_features
 from ..metrics.prdc import improved_precision_recall
 from ..utils.image_io import AsyncImageWriter
-from ..utils.logging import MetricLogger
 from .common import build_model
 from .infer import load_params
 

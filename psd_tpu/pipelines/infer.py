@@ -28,7 +28,6 @@ from ..conditioning.leace import load_leace
 from ..core.config import Config, load_config
 from ..diffusion.dadd import DADD
 from .common import build_model
-from ..models.vae import VAEConfig
 from ..utils.image_io import progression_grid, save_sequence
 
 
@@ -105,8 +104,6 @@ def load_params(model: DADD, checkpoint: str | None, seed: int, image_size: int,
     if checkpoint:
         from ..train.checkpoint import CheckpointManager
         from ..train.trainer import TrainState
-        import optax
-
         from ..train.optim import build_optimizer
 
         tx = build_optimizer(model.cfg)

@@ -25,7 +25,6 @@ import numpy as np
 from ..core.config import Config, load_config
 from ..data.limuc import AugmentConfig, DataLoader, LIMUCDataset
 from .common import build_model
-from ..models.vae import VAEConfig
 from ..parallel.mesh import MeshConfig, create_mesh, shard_batch
 from ..train import (
     CheckpointManager,

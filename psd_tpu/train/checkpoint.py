@@ -13,7 +13,6 @@ import os
 from pathlib import Path
 from typing import Any, Optional
 
-import jax
 import orbax.checkpoint as ocp
 
 

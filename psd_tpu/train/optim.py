@@ -13,8 +13,6 @@ Matches the reference:
 from __future__ import annotations
 
 import math
-from typing import Optional
-
 import jax.numpy as jnp
 import optax
 

@@ -12,7 +12,6 @@ everything except the loss on device — no host sync per step.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, Optional, Tuple
 
 import jax
@@ -21,7 +20,6 @@ import optax
 from flax import struct
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
-from ..core.config import Config
 from ..diffusion.dadd import DADD
 from ..parallel.mesh import batch_sharding, fsdp_param_spec
 from .ema import EMAState, ema_init, ema_update
