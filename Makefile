@@ -1,7 +1,11 @@
 # Convenience targets (counterpart of the reference Makefile)
-.PHONY: test lint format train train-ip inference evaluate compare-ip bench
+.PHONY: test test-all lint format train train-ip inference evaluate compare-ip bench
 
+# fast tier (<3 min): unit + light integration; CI / full coverage: test-all
 test:
+	python -m pytest tests/ -x -q -m "not slow"
+
+test-all:
 	python -m pytest tests/ -x -q
 
 train:

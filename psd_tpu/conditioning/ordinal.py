@@ -80,10 +80,16 @@ class AdditiveOrdinalEmbedder(nn.Module):
         return self.base[None, :] + offsets
 
     def _project(self, emb: jnp.ndarray) -> jnp.ndarray:
+        from ..parallel.mesh import constrain_batch
+
         h = self.proj_1(emb)
         h = gelu(h)
         h = self.proj_2(h)
-        return h.reshape(-1, self.num_tokens, self.embedding_dim)
+        out = h.reshape(-1, self.num_tokens, self.embedding_dim)
+        # GSPMD loses the batch spec through this reshape on a dp×fsdp mesh
+        # (involuntary full remat, MULTICHIP_r01); re-assert it when a
+        # batch_sharding_scope is active.
+        return constrain_batch(out)
 
     def __call__(
         self,

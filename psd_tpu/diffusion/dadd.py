@@ -161,7 +161,9 @@ class DADDCore(nn.Module):
             combined = jnp.concatenate([source_aoe, image_embeds, delta], axis=1)
         else:
             combined = jnp.concatenate([target_aoe, image_embeds], axis=1)
-        return combined
+        from ..parallel.mesh import constrain_batch
+
+        return constrain_batch(combined)
 
     def eps(self, latents, t, cond, delta_scale=0.0):
         return self.unet(latents, t, cond, delta_scale)
@@ -519,8 +521,9 @@ class DADD:
             dp_sharded=mesh is not None,
         )
         uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
+        scope = None
         if mesh is not None:
-            from ..parallel.mesh import batch_sharding
+            from ..parallel.mesh import batch_sharding, batch_sharding_scope
             from jax.sharding import NamedSharding, PartitionSpec as P
 
             bsh = batch_sharding(mesh)
@@ -530,12 +533,16 @@ class DADD:
             core_params = jax.device_put(
                 core_params, NamedSharding(mesh, P())
             )
-        return fn(
-            core_params,
-            cond,
-            uncond_arg,
-            key,
-            eta_key if eta_key is not None else key,
-            jnp.asarray(steer_scale, jnp.float32),
-            jnp.asarray(guidance_scale, jnp.float32),
-        )
+            scope = batch_sharding_scope(mesh)
+        import contextlib
+
+        with scope or contextlib.nullcontext():
+            return fn(
+                core_params,
+                cond,
+                uncond_arg,
+                key,
+                eta_key if eta_key is not None else key,
+                jnp.asarray(steer_scale, jnp.float32),
+                jnp.asarray(guidance_scale, jnp.float32),
+            )

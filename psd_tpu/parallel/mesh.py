@@ -16,6 +16,8 @@ Axes:
 
 from __future__ import annotations
 
+import contextlib
+from contextvars import ContextVar
 from dataclasses import dataclass
 from typing import Optional, Sequence
 
@@ -74,6 +76,37 @@ def shard_batch(mesh: Mesh, batch):
         return jax.device_put(x, NamedSharding(mesh, spec))
 
     return jax.tree_util.tree_map(_put, batch)
+
+
+# ---- batch-sharding constraint scope ------------------------------------
+# GSPMD loses the batch sharding through the conditioning path's reshapes
+# (ordinal_embedder._project and friends) and falls back to "involuntary
+# full rematerialization" — replicate-then-reshard (MULTICHIP_r01 tail).
+# Model code calls `constrain_batch(x)` at segment boundaries; it is a no-op
+# unless a `batch_sharding_scope(mesh)` is active at TRACE time (set by the
+# sharded train step / sampler), so single-chip paths pay nothing.
+
+_BATCH_CTX: ContextVar = ContextVar("psd_tpu_batch_ctx", default=None)
+
+
+@contextlib.contextmanager
+def batch_sharding_scope(mesh: Mesh):
+    """Activate leading-dim batch constraints for code traced inside."""
+    token = _BATCH_CTX.set((mesh, batch_sharding(mesh).spec[0]))
+    try:
+        yield
+    finally:
+        _BATCH_CTX.reset(token)
+
+
+def constrain_batch(x):
+    """Re-assert batch sharding on the leading dim (no-op outside a scope)."""
+    ctx = _BATCH_CTX.get()
+    if ctx is None or not hasattr(x, "ndim") or x.ndim < 1:
+        return x
+    mesh, axes = ctx
+    spec = P(*([axes] + [None] * (x.ndim - 1)))
+    return jax.lax.with_sharding_constraint(x, NamedSharding(mesh, spec))
 
 
 def fsdp_param_spec(path_leaf_shape, mesh: Mesh) -> P:

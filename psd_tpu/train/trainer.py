@@ -51,13 +51,28 @@ def create_train_state(
     return state, tx
 
 
-def make_train_step(dadd: DADD, tx: optax.GradientTransformation):
+def make_train_step(dadd: DADD, tx: optax.GradientTransformation,
+                    mesh: Optional[Mesh] = None):
     tcfg = dadd.cfg.training
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):
+            if mesh is not None and mesh.shape.get("fsdp", 1) > 1:
+                # ZeRO-1 semantics: compute with gathered (replicated) params;
+                # master params + optimizer state stay fsdp-sharded. XLA turns
+                # this into one all-gather per weight on use and a
+                # reduce-scatter on the gradient — and it keeps fsdp-sharded
+                # weights out of the matmuls, where contracting-dim shardings
+                # conflict with the batch sharding (the involuntary-full-
+                # rematerialization warnings in MULTICHIP_r01).
+                p = jax.tree_util.tree_map(
+                    lambda x: jax.lax.with_sharding_constraint(
+                        x, NamedSharding(mesh, P())
+                    ),
+                    p,
+                )
             return dadd.train_loss({"params": p}, batch, rng)
 
         (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
@@ -103,7 +118,7 @@ def compile_train_step(
     mesh: Optional[Mesh] = None,
 ):
     """jit the step; with a mesh, constrain batch to dp-sharding."""
-    step_fn = make_train_step(dadd, tx)
+    step_fn = make_train_step(dadd, tx, mesh)
 
     if mesh is None:
         return jax.jit(step_fn, donate_argnums=(0,))
@@ -111,12 +126,17 @@ def compile_train_step(
     bsh = batch_sharding(mesh)
 
     def sharded_step(state, batch, rng):
+        from ..parallel.mesh import batch_sharding_scope
+
         batch = jax.tree_util.tree_map(
             lambda x: jax.lax.with_sharding_constraint(
                 x, NamedSharding(mesh, P(*([bsh.spec[0]] + [None] * (x.ndim - 1))))
             ),
             batch,
         )
-        return step_fn(state, batch, rng)
+        # the scope makes constrain_batch() calls inside the conditioning
+        # path re-assert batch sharding (traced once, baked into the jaxpr)
+        with batch_sharding_scope(mesh):
+            return step_fn(state, batch, rng)
 
     return jax.jit(sharded_step, donate_argnums=(0,))

@@ -22,3 +22,9 @@ import jax  # noqa: E402
 # backend is initialized so tests run on the virtual 8-device CPU mesh.
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_default_prng_impl", "threefry2x32")
+
+# Persistent compile cache: most suite wall-clock is CPU jit compilation of
+# the same tiny models; cache hits cut repeat runs by minutes.
+jax.config.update("jax_compilation_cache_dir", ".jax_cache_tests")
+jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+jax.config.update("jax_persistent_cache_min_entry_size_bytes", 0)

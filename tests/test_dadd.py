@@ -15,6 +15,7 @@ def dadd_and_params():
     return model, params
 
 
+@pytest.mark.slow
 def test_train_loss_finite_and_grads_flow(dadd_and_params):
     model, params = dadd_and_params
     B = 2
@@ -120,6 +121,7 @@ def test_base_module_ordinal_only():
     assert np.isfinite(np.asarray(lat)).all()
 
 
+@pytest.mark.slow
 def test_dp_sharded_sampling_on_mesh(dadd_and_params):
     """Multi-chip serving path: batch shards over dp, output matches the
     single-device result exactly."""

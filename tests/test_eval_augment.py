@@ -23,6 +23,7 @@ def limuc_dir(tmp_path_factory):
     return root
 
 
+@pytest.mark.slow
 def test_augment_factory_smoke(limuc_dir, tmp_path):
     from psd_tpu.pipelines.augment import main
 
@@ -56,6 +57,7 @@ def test_augment_factory_smoke(limuc_dir, tmp_path):
     assert result2["generated"] == 0
 
 
+@pytest.mark.slow
 def test_evaluate_sweep_smoke(limuc_dir, tmp_path):
     from psd_tpu.pipelines.evaluate import main
 

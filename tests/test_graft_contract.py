@@ -2,10 +2,12 @@
 and bench.py keeps its one-JSON-line stdout contract."""
 
 import json
+import pytest
 import subprocess
 import sys
 
 
+@pytest.mark.slow
 def test_dryrun_multichip_8():
     import __graft_entry__ as g
 

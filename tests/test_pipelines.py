@@ -15,6 +15,7 @@ def structure_image(tmp_path_factory):
     return p
 
 
+@pytest.mark.slow
 def test_infer_cli_progression(structure_image, tmp_path):
     from psd_tpu.pipelines.infer import main
 
@@ -40,6 +41,7 @@ def test_infer_cli_progression(structure_image, tmp_path):
     assert imgs.min() >= 0.0 and imgs.max() <= 1.0
 
 
+@pytest.mark.slow
 def test_infer_cli_deterministic_same_seed(structure_image, tmp_path):
     from psd_tpu.pipelines.infer import main
 
@@ -54,6 +56,7 @@ def test_infer_cli_deterministic_same_seed(structure_image, tmp_path):
     np.testing.assert_array_equal(a["images"], b["images"])
 
 
+@pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
     """Few steps of the full training pipeline on a synthetic dataset."""
     rng = np.random.default_rng(0)
@@ -82,6 +85,7 @@ def test_train_cli_smoke(tmp_path):
     assert (tmp_path / "run" / "checkpoints").exists()
 
 
+@pytest.mark.slow
 def test_train_resume_after_preemption(tmp_path):
     """Preemption tolerance: kill training mid-run, resume from 'last'
     (SURVEY.md §5 failure-detection gap the TPU build fills)."""

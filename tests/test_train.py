@@ -2,6 +2,7 @@
 multi-device DP train step on the virtual CPU mesh (SURVEY.md §4d)."""
 
 import jax
+import pytest
 import jax.numpy as jnp
 import numpy as np
 
@@ -106,6 +107,7 @@ def test_dp_train_step_on_8_device_mesh():
     assert int(state.step) == 2
 
 
+@pytest.mark.slow
 def test_fsdp_mesh_train_step():
     """dp=2 × fsdp=4: params sharded over fsdp, step still runs."""
     model = tiny_dadd()
