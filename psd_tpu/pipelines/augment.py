@@ -121,11 +121,16 @@ def main(argv=None):
     batch = args.batch_images * (num_classes - 1)
     t0 = time.perf_counter()
     done = 0
+    from .common import pad_batch
+
     for b in range(0, len(jobs), batch):
         chunk = jobs[b : b + batch]
-        srcs = jnp.asarray([j[1] for j in chunk])
-        tgts = jnp.asarray([j[2] for j in chunk])
+        srcs = np.asarray([j[1] for j in chunk], np.float32)
+        tgts = np.asarray([j[2] for j in chunk], np.float32)
         clip_imgs = np.stack([ds.load(j[0])["clip_image"] for j in chunk])
+        # pad the ragged final chunk: one sampler compile per static shape
+        (srcs, tgts, clip_imgs), n_real = pad_batch([srcs, tgts, clip_imgs], batch)
+        srcs, tgts = jnp.asarray(srcs), jnp.asarray(tgts)
         clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_imgs))
         cond = model.prepare_inference_cond(core, tgts, srcs, clip_feats)
         uncond = None
@@ -141,7 +146,7 @@ def main(argv=None):
             steer_scale=args.steer_scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
         )
-        imgs = np.asarray(model.decode_latents(vae_params, lat))
+        imgs = np.asarray(model.decode_latents(vae_params, lat))[:n_real]
         for img, (_, _, _, out_path) in zip(imgs, chunk):
             writer.submit(img, out_path)
         done += len(imgs)

@@ -22,7 +22,11 @@ import numpy as np
 import optax
 
 from ..data.classification import MESClassificationDataset
-from ..metrics.classification import classification_report, regression_report
+from ..metrics.classification import (
+    classification_report,
+    confusion_matrix,
+    regression_report,
+)
 from ..models.resnet import ResNet, ResNetConfig
 from ..utils.logging import MetricLogger
 
@@ -48,6 +52,9 @@ def build_argparser():
     p.add_argument("--freeze-backbone-epochs", type=int, default=0)
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--early-stop-patience", type=int, default=0)
+    p.add_argument("--save-top-k", type=int, default=3,
+                   help="keep the k best checkpoints by the monitored metric "
+                        "+ last (train_regression.py:96-106)")
     p.add_argument("--synthetic-only", action="store_true", default=True)
     p.add_argument("--no-synthetic-only", dest="synthetic_only",
                    action="store_false")
@@ -123,7 +130,7 @@ def main(argv=None):
                      optax.scale_by_schedule(lambda s: sched(s) / args.lr), tx)
     opt_state = tx.init(variables["params"])
 
-    def loss_fn(params, batch_stats, batch, key, train, freeze):
+    def loss_fn(params, batch_stats, batch, key, train):
         vars_in = {"params": params, "batch_stats": batch_stats}
         out, mutated = model.apply(
             vars_in, batch["image"], train,
@@ -139,11 +146,29 @@ def main(argv=None):
             )
         return loss, (out, mutated.get("batch_stats", batch_stats))
 
+    def _mask_frozen_updates(updates, freeze):
+        """Zero optimizer updates for all non-head params while `freeze` is 1.
+
+        The reference freezes the backbone via requires_grad=False for the
+        first N epochs (classification/model.py:381-393); zeroing the UPDATE
+        (not just the grad) also suppresses AdamW weight decay so frozen
+        params are bit-identical across the freeze window."""
+        def f(path, u):
+            top = path[0].key if hasattr(path[0], "key") else str(path[0])
+            if top == "fc":
+                return u
+            return u * (1.0 - freeze)
+        return jax.tree_util.tree_map_with_path(f, updates)
+
     @jax.jit
-    def train_step(params, batch_stats, opt_state, batch, key):
+    def train_step(params, batch_stats, opt_state, batch, key, freeze):
         (loss, (out, new_bs)), grads = jax.value_and_grad(
-            loss_fn, has_aux=True)(params, batch_stats, batch, key, True, False)
+            loss_fn, has_aux=True)(params, batch_stats, batch, key, True)
+        # mask grads too: no momentum accumulates on frozen params (matches
+        # torch requires_grad=False, where the optimizer sees no grad at all)
+        grads = _mask_frozen_updates(grads, freeze)
         updates, new_opt = tx.update(grads, opt_state, params)
+        updates = _mask_frozen_updates(updates, freeze)
         new_params = optax.apply_updates(params, updates)
         return new_params, new_bs, new_opt, loss
 
@@ -159,6 +184,7 @@ def main(argv=None):
     best_epoch = -1
     patience = 0
     history = []
+    topk = []  # (monitored_metric, epoch, path), best first
 
     for epoch in range(args.epochs):
         t0 = time.perf_counter()
@@ -168,8 +194,9 @@ def main(argv=None):
                 break
             key = jax.random.fold_in(rng, epoch * 100000 + i)
             batch = {k: jnp.asarray(v) for k, v in batch.items()}
+            freeze = jnp.float32(epoch < args.freeze_backbone_epochs)
             params, batch_stats, opt_state, loss = train_step(
-                params, batch_stats, opt_state, batch, key
+                params, batch_stats, opt_state, batch, key, freeze
             )
             losses.append(float(loss))
 
@@ -186,11 +213,19 @@ def main(argv=None):
         if is_reg:
             report = regression_report(ys, outs, args.num_classes)
             monitored = -report["rmse"]
+            preds = np.clip(np.round(outs.squeeze(-1) if outs.ndim > 1
+                                     else outs), 0, args.num_classes - 1)
         else:
             probs = np.asarray(jax.nn.softmax(jnp.asarray(outs), -1))
             report = classification_report(ys, probs.argmax(1), probs,
                                            args.num_classes)
             monitored = report["qwk"]
+            preds = probs.argmax(1)
+        # confusion-matrix artifact per eval (reference logs it to W&B,
+        # classification/model.py:608-638)
+        report["confusion_matrix"] = confusion_matrix(
+            ys.astype(int), preds.astype(int), args.num_classes
+        ).tolist()
         report["epoch"] = epoch
         report["train_loss"] = float(np.mean(losses)) if losses else 0.0
         report["epoch_seconds"] = time.perf_counter() - t0
@@ -200,6 +235,22 @@ def main(argv=None):
         print(f"epoch {epoch}: loss={report['train_loss']:.4f} "
               f"{key_metric}={report[key_metric]:.4f}")
 
+        from ..convert.io import save_params_npz
+
+        # top-k checkpoint keeping + last (train_regression.py:96-106,
+        # ModelCheckpoint save_top_k + save_last semantics)
+        save_params_npz({"params": params, "batch_stats": batch_stats},
+                        out_dir / "last.npz")
+        if args.save_top_k > 0:
+            ckpt_path = out_dir / f"epoch{epoch:03d}.npz"
+            save_params_npz({"params": params, "batch_stats": batch_stats},
+                            ckpt_path)
+            topk.append((monitored, epoch, ckpt_path))
+            topk.sort(key=lambda t: -t[0])
+            for _, _, evicted in topk[args.save_top_k:]:
+                evicted.unlink(missing_ok=True)
+            del topk[args.save_top_k:]
+
         improved = monitored > (-best_metric if is_reg else best_metric)
         if is_reg:
             improved = report["rmse"] < best_metric
@@ -207,10 +258,11 @@ def main(argv=None):
             best_metric = report[key_metric] if is_reg else monitored
             best_epoch = epoch
             patience = 0
-            from ..convert.io import save_params_npz
-
             save_params_npz({"params": params, "batch_stats": batch_stats},
                             out_dir / "best.npz")
+            with open(out_dir / "best_confusion_matrix.json", "w") as f:
+                json.dump({"epoch": epoch,
+                           "confusion_matrix": report["confusion_matrix"]}, f)
         else:
             patience += 1
             if args.early_stop_patience and patience >= args.early_stop_patience:
@@ -219,7 +271,9 @@ def main(argv=None):
 
     with open(out_dir / "history.json", "w") as f:
         json.dump(history, f, indent=2)
-    print(f"best epoch {best_epoch} ({key_metric}={best_metric:.4f})")
+    print(f"best epoch {best_epoch} ({key_metric}={best_metric:.4f}); "
+          f"kept top-{len(topk)} checkpoints "
+          f"{[f'epoch{e:03d}' for _, e, _ in topk]}")
     logger.close()
     return history
 

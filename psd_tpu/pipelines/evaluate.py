@@ -70,6 +70,9 @@ def build_argparser():
     p.add_argument("--output-dir", type=str, default="runs/eval")
     p.add_argument("--inception-params", type=str, default=None)
     p.add_argument("--vgg-params", type=str, default=None)
+    p.add_argument("--allow-random-backbones", action="store_true",
+                   help="smoke runs only: proceed with random-init "
+                        "Inception/VGG (FID/IPR values are meaningless)")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     return p
 
@@ -92,7 +95,8 @@ class FeatureBank:
     """Batched feature extraction for all three metric backbones."""
 
     def __init__(self, model, clip_params, inception_params=None,
-                 vgg_params=None, batch: int = 32):
+                 vgg_params=None, batch: int = 32,
+                 allow_random_backbones: bool = False):
         from ..models.inception import InceptionV3Features, inception_preprocess
         from ..models.vgg import VGG16Features, imagenet_normalize
 
@@ -103,11 +107,24 @@ class FeatureBank:
         self._vgg = VGG16Features(dtype=jnp.bfloat16)
         self._incep_params = inception_params
         self._vgg_params = vgg_params
+        self._allow_random = allow_random_backbones
         self._inception_preprocess = inception_preprocess
         self._imagenet_normalize = imagenet_normalize
+        self._clip_proc = None
         self._jits = {}
 
     def _ensure_backbone_params(self, images_example):
+        if (self._incep_params is None or self._vgg_params is None) and (
+            not self._allow_random
+        ):
+            # hard-fail: FID/IPR from random-init backbones are garbage that
+            # looks like numbers (VERDICT r1 weak #5)
+            raise RuntimeError(
+                "Metric backbones have no pretrained weights "
+                "(--inception-params / --vgg-params). Port them with "
+                "scripts/port_weights.py, or pass --allow-random-backbones "
+                "for smoke runs only."
+            )
         if self._incep_params is None:
             self._incep_params = self._incep.init(
                 jax.random.PRNGKey(0), jnp.zeros((1, 299, 299, 3), jnp.bfloat16)
@@ -130,11 +147,16 @@ class FeatureBank:
         return self._jits[name]
 
     def _batched(self, fn_name, fn, params, images) -> np.ndarray:
+        """Static-shape batching: the ragged final chunk is padded to the
+        full batch (one compile per backbone) and sliced back."""
+        from .common import pad_batch
+
         out = []
         jfn = self._jit(fn_name, fn)
         for i in range(0, len(images), self.batch):
-            chunk = jnp.asarray(images[i : i + self.batch])
-            out.append(np.asarray(jfn(params, chunk)))
+            chunk = np.asarray(images[i : i + self.batch])
+            (padded,), n_real = pad_batch([chunk], self.batch)
+            out.append(np.asarray(jfn(params, jnp.asarray(padded)))[:n_real])
         return np.concatenate(out, axis=0)
 
     def inception(self, images: np.ndarray) -> np.ndarray:
@@ -149,22 +171,28 @@ class FeatureBank:
     def clip(self, images: np.ndarray) -> np.ndarray:
         """images [0,1] → L2-normalized CLIP projected embeddings.
 
-        The reference re-preprocesses via CLIPImageProcessor (:612-621); we
-        resize+normalize on device with the same mean/std.
-        """
-        mean = jnp.asarray([0.48145466, 0.4578275, 0.40821073])
-        std = jnp.asarray([0.26862954, 0.26130258, 0.27577711])
-        size = self.model.clip_cfg.image_size
+        Byte-parity with the reference: images are re-preprocessed through
+        the SAME CLIPImageProcessor path as the data loader (the reference
+        re-preprocesses via the processor, evaluation_pipeline.py:612-621;
+        a device-side bicubic resize differs at the interpolation level and
+        shifts CMMD)."""
+        from ..data.limuc import _get_clip_processor
+
+        if self._clip_proc is None:
+            self._clip_proc = _get_clip_processor(
+                size=self.model.clip_cfg.image_size
+            )
+        pre = self._clip_proc(
+            images=[np.asarray(im, np.float32) for im in images],
+            return_tensors="np", do_rescale=False,
+        ).pixel_values  # (N,3,S,S)
+        pre = np.transpose(pre, (0, 2, 3, 1)).astype(np.float32)
 
         def _fn(p, x):
-            x = jax.image.resize(
-                x, (x.shape[0], size, size, 3), method="bicubic"
-            )
-            x = (jnp.clip(x, 0, 1) - mean) / std
             feats = self.model.clip.apply(p, x, method=self.model.clip.image_embeds)
             return l2_normalize(feats.astype(jnp.float32))
 
-        return self._batched("clipfeat", _fn, self.clip_params, images)
+        return self._batched("clipfeat", _fn, self.clip_params, pre)
 
     def vgg(self, images: np.ndarray) -> np.ndarray:
         self._ensure_backbone_params(images)
@@ -258,13 +286,19 @@ def generate_all(
     total = 0
     key = jax.random.PRNGKey(seed)
 
-    for b in range(0, len(jobs), batch_images * n_targets):
-        chunk = jobs[b : b + batch_images * n_targets]
+    from .common import pad_batch
+
+    full = batch_images * n_targets
+    for b in range(0, len(jobs), full):
+        chunk = jobs[b : b + full]
         if not chunk:
             break
         srcs = np.asarray([j[1] for j in chunk], np.float32)
         tgts = np.asarray([j[2] for j in chunk], np.float32)
         clip_imgs = np.stack([ds.load(j[0])["clip_image"] for j in chunk])
+        # static shapes: pad the ragged final chunk to the full batch so the
+        # jitted sampler compiles exactly once per (size, steps, batch)
+        (srcs, tgts, clip_imgs), n_real = pad_batch([srcs, tgts, clip_imgs], full)
         clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_imgs))
 
         cond = model.prepare_inference_cond(
@@ -284,7 +318,7 @@ def generate_all(
             steer_scale=scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
         )
-        imgs = np.asarray(model.decode_latents(vae_params, lat))
+        imgs = np.asarray(model.decode_latents(vae_params, lat))[:n_real]
         total += len(imgs)
         for img, tgt, (idx, _, _) in zip(imgs, tgts, chunk):
             fake_by_class[int(tgt)].append(img)
@@ -345,7 +379,8 @@ def main(argv=None):
         core, vae_params, clip_params = load_params(
             model, ckpt, args.seed, image_size, args.ema
         )
-        bank = FeatureBank(model, clip_params, inception_params, vgg_params)
+        bank = FeatureBank(model, clip_params, inception_params, vgg_params,
+                           allow_random_backbones=args.allow_random_backbones)
         for scale in args.scales:
             run_name = f"{Path(ckpt).stem if ckpt else 'random'}_scale{scale}"
             run_dir = out_root / run_name

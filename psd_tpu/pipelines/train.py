@@ -154,6 +154,82 @@ def main(argv=None):
 
     embed_stats_jit = jax.jit(_embed_stats_fn)
 
+    # ---- validation / monitoring (EMA-swap, ema_callback.py:168-230) ----
+    val_dir = Path(cfg.dataset.dataset_path) / "val"
+    val_ds = None
+    if val_dir.exists() and cfg.training.check_val_every_n_epochs > 0:
+        val_ds = LIMUCDataset(
+            val_dir, image_size=cfg.dataset.image_size, return_clip=True,
+            clip_size=model.clip_cfg.image_size, seed=cfg.training.seed,
+        )
+    val_loss_jit = jax.jit(lambda p, b, r: model.train_loss(p, b, r))
+    sample_dir = out_dir / "val_samples"
+
+    def run_validation(state, epoch, step):
+        """EMA-swapped val loss + a fixed progression grid each val epoch."""
+        ema_active = int(jax.device_get(state.ema.count)) > 0
+        p = {"params": state.ema.params} if ema_active else state.params
+        records = {"step": step, "epoch": epoch, "val/ema_swapped": ema_active}
+        if val_ds is not None:
+            losses = []
+            vloader = DataLoader(
+                val_ds, batch_size=cfg.dataset.batch_size, shuffle=False,
+                class_balanced=False, drop_last=False,
+                num_threads=cfg.dataset.num_workers, seed=0,
+            )
+            from .common import pad_batch
+
+            for i, vb in enumerate(vloader):
+                if i >= cfg.training.val_max_batches:
+                    break
+                (img, cimg, lbl), _ = pad_batch(
+                    [vb["image"], vb["clip_image"], vb["label"]],
+                    cfg.dataset.batch_size,
+                )
+                latents, clip_feats = encode_batch(
+                    jnp.asarray(img), jnp.asarray(cimg), jax.random.PRNGKey(11)
+                )
+                vbatch = {"latents": latents, "labels": jnp.asarray(lbl),
+                          "clip_feats": clip_feats}
+                # fixed key → deterministic val noise/timesteps across epochs
+                loss, _ = val_loss_jit(p, vbatch, jax.random.fold_in(
+                    jax.random.PRNGKey(1234), i))
+                losses.append(float(loss))
+            if losses:
+                records["val/loss"] = float(np.mean(losses))
+        # fixed-source progression grid (sample-quality monitoring)
+        if val_ds is not None and cfg.training.val_progression_levels > 0:
+            from ..utils.image_io import progression_grid
+
+            item = val_ds.load(0)
+            K = cfg.training.val_progression_levels
+            levels = np.linspace(0, cfg.dataset.num_classes - 1, K)
+            clip_feats = model.encode_image_clip(
+                clip_params, jnp.asarray(np.stack([item["clip_image"]] * K))
+            )
+            cond = model.prepare_inference_cond(
+                p, jnp.asarray(levels, jnp.float32),
+                jnp.full((K,), item["label"], jnp.float32), clip_feats,
+            )
+            lat = model.sample(
+                p, cond, jax.random.PRNGKey(99),
+                image_size=cfg.dataset.image_size,
+                sampling_steps=cfg.training.val_sampling_steps,
+                steer_scale=1.0 if cfg.model.use_routing_gates else 0.0,
+                shared_noise=True,
+            )
+            imgs = np.asarray(model.decode_latents(vae_params, lat))
+            sample_dir.mkdir(parents=True, exist_ok=True)
+            progression_grid(
+                imgs, list(levels), sample_dir / f"epoch{epoch:04d}.png",
+            )
+            records["val/progression_png"] = str(
+                sample_dir / f"epoch{epoch:04d}.png")
+        logger.log(records)
+        if "val/loss" in records:
+            print(f"epoch {epoch} val: loss={records['val/loss']:.4f} "
+                  f"(ema={ema_active})")
+
     print(f"Training: {total_steps} steps, {steps_per_epoch} steps/epoch, "
           f"mesh={dict(mesh.shape)}")
     done = False
@@ -186,6 +262,10 @@ def main(argv=None):
                       f"({m['img_per_sec']:.1f} img/s)")
             if step % steps_per_epoch == 0:
                 ckpt.save(step, jax.device_get(state))
+                epoch = step // steps_per_epoch
+                if (val_ds is not None
+                        and epoch % cfg.training.check_val_every_n_epochs == 0):
+                    run_validation(state, epoch, step)
             if step >= total_steps:
                 done = True
                 break

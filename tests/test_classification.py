@@ -121,11 +121,80 @@ def test_classifier_smoke_train(cls_dataset, tmp_path):
         "--batch-size", "8",
         "--epochs", "2",
         "--max-steps-per-epoch", "2",
+        "--save-top-k", "1",
         "--output-dir", str(tmp_path / "cls"),
     ])
     assert len(hist) == 2
     assert "qwk" in hist[0] and "auroc" in hist[0]
-    assert (tmp_path / "cls" / "best.npz").exists()
+    assert np.asarray(hist[0]["confusion_matrix"]).shape == (4, 4)
+    out = tmp_path / "cls"
+    assert (out / "best.npz").exists()
+    assert (out / "last.npz").exists()
+    assert (out / "best_confusion_matrix.json").exists()
+    # save-top-k 1 over 2 epochs: exactly one epochNNN checkpoint kept
+    assert len(list(out.glob("epoch*.npz"))) == 1
+
+
+def test_classifier_freeze_backbone_epochs(cls_dataset, tmp_path):
+    """--freeze-backbone-epochs N: backbone params bit-identical during the
+    freeze window, training after it (classification/model.py:381-393)."""
+    import jax
+    from psd_tpu.convert.io import load_params_npz
+    from psd_tpu.pipelines.classify import main
+
+    def run(epochs, out):
+        main([
+            "--data-dir", str(cls_dataset),
+            "--backbone", "resnet18",
+            "--image-size", "32",
+            "--batch-size", "8",
+            "--epochs", str(epochs),
+            "--max-steps-per-epoch", "2",
+            "--freeze-backbone-epochs", "1",
+            "--save-top-k", "0",
+            "--early-stop-patience", "0",
+            "--seed", "3",
+            "--output-dir", str(out),
+        ])
+        return load_params_npz(out / "last.npz")
+
+    one = run(1, tmp_path / "e1")   # all of epoch 0 is frozen
+    two = run(2, tmp_path / "e2")   # epoch 1 unfreezes
+
+    def flat(tree):
+        return {
+            "/".join(getattr(k, "key", str(k)) for k in path): np.asarray(leaf)
+            for path, leaf in jax.tree_util.tree_flatten_with_path(tree)[0]
+        }
+
+    p1, p2 = flat(one["params"]), flat(two["params"])
+    backbone1 = {k: v for k, v in p1.items() if not k.startswith("fc")}
+    assert backbone1, "no backbone params found"
+    # seeds are deterministic: epoch 0 of both runs is identical, so the
+    # 1-epoch run's backbone equals the init (frozen) ...
+    from psd_tpu.models.resnet import ResNet, ResNetConfig
+    import jax.numpy as jnp
+
+    model = ResNet(ResNetConfig(variant="resnet18", num_classes=4,
+                                head="classify", dropout=0.2))
+    rng = jax.random.PRNGKey(3)
+    init = model.init({"params": rng, "dropout": rng},
+                      jnp.zeros((1, 32, 32, 3)), True)
+    init_flat = flat(init["params"])
+    changed_during_freeze = [
+        k for k, v in backbone1.items()
+        if not np.array_equal(v, init_flat[k])
+    ]
+    assert not changed_during_freeze, changed_during_freeze[:5]
+    # ... the head DID train during the freeze window ...
+    fc1 = {k: v for k, v in p1.items() if k not in backbone1}
+    assert any(
+        not np.array_equal(v, init_flat[k]) for k, v in fc1.items()
+    )
+    # ... and after unfreezing, backbone params move
+    assert any(
+        not np.array_equal(p2[k], v) for k, v in backbone1.items()
+    )
 
 
 def test_regressor_smoke_train(cls_dataset, tmp_path):

@@ -74,6 +74,7 @@ def test_evaluate_sweep_smoke(limuc_dir, tmp_path):
         "--num-eval-seeds", "2",
         "--output-dir", str(out_dir),
         "--dtype", "fp32",
+        "--allow-random-backbones",
     ])
     assert len(results) == 1
     res = results[0]
@@ -88,3 +89,32 @@ def test_evaluate_sweep_smoke(limuc_dir, tmp_path):
     with open(next(out_dir.glob("*/metrics.json"))) as f:
         saved = json.load(f)
     assert saved["scale"] == 1.0
+
+
+def test_random_backbones_hard_fail():
+    """Real eval runs must not silently ship random-backbone FID/IPR."""
+    import jax.numpy as jnp
+
+    from psd_tpu.core.config import load_config
+    from psd_tpu.pipelines.common import build_model
+    from psd_tpu.pipelines.evaluate import FeatureBank
+
+    cfg = load_config("configs/tiny_smoke.yaml")
+    model = build_model(cfg, "fp32")
+    bank = FeatureBank(model, clip_params=None)
+    with pytest.raises(RuntimeError, match="random"):
+        bank.inception(np.zeros((2, 32, 32, 3), np.float32))
+
+
+def test_pad_batch_static_shapes():
+    from psd_tpu.pipelines.common import pad_batch
+
+    a = np.arange(10, dtype=np.float32).reshape(5, 2)
+    b = np.arange(5, dtype=np.float32)
+    (pa, pb), n = pad_batch([a, b], 8)
+    assert n == 5 and pa.shape == (8, 2) and pb.shape == (8,)
+    np.testing.assert_array_equal(pa[:5], a)
+    np.testing.assert_array_equal(pa[5:], np.tile(a[-1:], (3, 1)))
+    # already-full chunk: untouched
+    (qa,), n2 = pad_batch([a], 5)
+    assert n2 == 5 and qa is a

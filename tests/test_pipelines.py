@@ -58,16 +58,19 @@ def test_infer_cli_deterministic_same_seed(structure_image, tmp_path):
 
 @pytest.mark.slow
 def test_train_cli_smoke(tmp_path):
-    """Few steps of the full training pipeline on a synthetic dataset."""
+    """Few steps of the full training pipeline on a synthetic dataset,
+    including the EMA-swap validation loop (val loss + progression grid)."""
+    import json
+
     rng = np.random.default_rng(0)
-    data_root = tmp_path / "data" / "train"
-    for c in range(4):
-        d = data_root / f"Mayo_{c}"
-        d.mkdir(parents=True)
-        for i in range(3):
-            Image.fromarray(
-                rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
-            ).save(d / f"im{i}.png")
+    for split, n in (("train", 3), ("val", 2)):
+        for c in range(4):
+            d = tmp_path / "data" / split / f"Mayo_{c}"
+            d.mkdir(parents=True)
+            for i in range(n):
+                Image.fromarray(
+                    rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+                ).save(d / f"im{i}.png")
 
     from psd_tpu.pipelines.train import main
 
@@ -76,6 +79,8 @@ def test_train_cli_smoke(tmp_path):
         f"dataset.dataset_path={tmp_path / 'data'}",
         "dataset.batch_size=4",
         "training.log_every_n_steps=1",
+        "training.val_max_batches=1",
+        "training.val_sampling_steps=2",
         "--max-steps", "3",
         "--dp", "2",
         "--output-dir", str(tmp_path / "run"),
@@ -83,6 +88,15 @@ def test_train_cli_smoke(tmp_path):
     assert int(state.step) == 3
     assert (tmp_path / "run" / "metrics.jsonl").exists()
     assert (tmp_path / "run" / "checkpoints").exists()
+    # val records in metrics.jsonl + a progression grid on disk
+    # (steps_per_epoch = 12 imgs / 4 = 3 → epoch boundary at step 3)
+    records = [json.loads(ln) for ln in
+               (tmp_path / "run" / "metrics.jsonl").read_text().splitlines()]
+    val_recs = [r for r in records if "val/loss" in r]
+    assert val_recs, "no validation records logged"
+    assert np.isfinite(val_recs[-1]["val/loss"])
+    grids = list((tmp_path / "run" / "val_samples").glob("epoch*.png"))
+    assert grids, "no validation progression grid written"
 
 
 @pytest.mark.slow
