@@ -16,35 +16,108 @@
 #include <cstring>
 #include <cmath>
 #include <algorithm>
+#include <vector>
+
+namespace {
+
+// ---- Pillow-exact BILINEAR resampling --------------------------------
+// Mirrors Pillow's Resample.c convolution resampler bit-for-bit: center-
+// aligned sampling ((xx + 0.5) * scale), triangle filter with support
+// scaled by max(1, in/out) (anti-aliasing on downscale), per-output-pixel
+// weights normalized in double then quantized to 22-bit fixed point, and
+// a horizontal-then-vertical two-pass with uint8 requantization between
+// passes. Byte parity with PIL is asserted by tests/test_native.py.
+
+constexpr int kPrecisionBits = 32 - 8 - 2;  // Pillow PRECISION_BITS
+
+inline double bilinear_filter(double x) {
+  if (x < 0.0) x = -x;
+  return x < 1.0 ? 1.0 - x : 0.0;
+}
+
+inline uint8_t clip8(int in) {
+  if (in >= (255 << kPrecisionBits)) return 255;
+  if (in <= 0) return 0;
+  return (uint8_t)(in >> kPrecisionBits);
+}
+
+// Per-output-pixel integer weights + source bounds (Pillow
+// precompute_coeffs + normalize_coeffs_8bpc).
+int precompute_coeffs(int in_size, int out_size, std::vector<int>& bounds,
+                      std::vector<int>& kk) {
+  const double scale = (double)in_size / out_size;
+  const double filterscale = scale < 1.0 ? 1.0 : scale;
+  const double support = 1.0 * filterscale;  // bilinear support = 1
+  const int ksize = (int)std::ceil(support) * 2 + 1;
+
+  bounds.resize(out_size * 2);
+  kk.resize((size_t)out_size * ksize);
+  std::vector<double> wd(ksize);
+
+  for (int xx = 0; xx < out_size; ++xx) {
+    const double center = (xx + 0.5) * scale;
+    double ww = 0.0;
+    const double ss = 1.0 / filterscale;
+    int xmin = (int)(center - support + 0.5);
+    if (xmin < 0) xmin = 0;
+    int xmax = (int)(center + support + 0.5);
+    if (xmax > in_size) xmax = in_size;
+    xmax -= xmin;
+    for (int x = 0; x < xmax; ++x) {
+      const double w = bilinear_filter((x + xmin - center + 0.5) * ss);
+      wd[x] = w;
+      ww += w;
+    }
+    int* k = kk.data() + (size_t)xx * ksize;
+    for (int x = 0; x < xmax; ++x) {
+      const double kn = ww != 0.0 ? wd[x] / ww : wd[x];
+      k[x] = (int)(kn < 0 ? -0.5 + kn * (1 << kPrecisionBits)
+                          : 0.5 + kn * (1 << kPrecisionBits));
+    }
+    for (int x = xmax; x < ksize; ++x) k[x] = 0;
+    bounds[xx * 2 + 0] = xmin;
+    bounds[xx * 2 + 1] = xmax;
+  }
+  return ksize;
+}
+
+}  // namespace
 
 extern "C" {
 
-// Bilinear resize of an interleaved uint8 image (H,W,C) -> (OH,OW,C).
+// PIL-BILINEAR-exact resize of an interleaved uint8 image (H,W,C)->(OH,OW,C).
 void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
                         uint8_t* dst, int oh, int ow) {
-  const float sy = (oh > 1) ? (float)(h - 1) / (float)(oh - 1) : 0.f;
-  const float sx = (ow > 1) ? (float)(w - 1) / (float)(ow - 1) : 0.f;
-  for (int y = 0; y < oh; ++y) {
-    const float fy = y * sy;
-    const int y0 = (int)fy;
-    const int y1 = std::min(y0 + 1, h - 1);
-    const float wy = fy - y0;
+  std::vector<int> xb, xk, yb, yk;
+  const int xks = precompute_coeffs(w, ow, xb, xk);
+  const int yks = precompute_coeffs(h, oh, yb, yk);
+
+  // horizontal pass: (h, w, c) -> (h, ow, c), requantized to uint8
+  std::vector<uint8_t> tmp((size_t)h * ow * c);
+  for (int y = 0; y < h; ++y) {
+    const uint8_t* row = src + (size_t)y * w * c;
+    uint8_t* orow = tmp.data() + (size_t)y * ow * c;
     for (int x = 0; x < ow; ++x) {
-      const float fx = x * sx;
-      const int x0 = (int)fx;
-      const int x1 = std::min(x0 + 1, w - 1);
-      const float wx = fx - x0;
-      const uint8_t* p00 = src + (y0 * w + x0) * c;
-      const uint8_t* p01 = src + (y0 * w + x1) * c;
-      const uint8_t* p10 = src + (y1 * w + x0) * c;
-      const uint8_t* p11 = src + (y1 * w + x1) * c;
-      uint8_t* out = dst + (y * ow + x) * c;
+      const int xmin = xb[x * 2], xmax = xb[x * 2 + 1];
+      const int* k = xk.data() + (size_t)x * xks;
       for (int ch = 0; ch < c; ++ch) {
-        const float top = p00[ch] * (1.f - wx) + p01[ch] * wx;
-        const float bot = p10[ch] * (1.f - wx) + p11[ch] * wx;
-        const float v = top * (1.f - wy) + bot * wy;
-        out[ch] = (uint8_t)(v + 0.5f);
+        int ss = 1 << (kPrecisionBits - 1);
+        for (int i = 0; i < xmax; ++i)
+          ss += row[(size_t)(xmin + i) * c + ch] * k[i];
+        orow[(size_t)x * c + ch] = clip8(ss);
       }
+    }
+  }
+  // vertical pass: (h, ow, c) -> (oh, ow, c)
+  for (int y = 0; y < oh; ++y) {
+    const int ymin = yb[y * 2], ymax = yb[y * 2 + 1];
+    const int* k = yk.data() + (size_t)y * yks;
+    uint8_t* orow = dst + (size_t)y * ow * c;
+    for (int x = 0; x < ow * c; ++x) {
+      int ss = 1 << (kPrecisionBits - 1);
+      for (int i = 0; i < ymax; ++i)
+        ss += tmp[(size_t)(ymin + i) * ow * c + x] * k[i];
+      orow[x] = clip8(ss);
     }
   }
 }
@@ -55,6 +128,23 @@ void resize_bilinear_u8(const uint8_t* src, int h, int w, int c,
 // their own constants. One pass instead of three numpy temporaries.
 void normalize_u8_to_f32(const uint8_t* src, float* dst, int n_pixels, int c,
                          const float* mean, const float* stddev, float scale) {
+  // out = p*(scale/std) - mean/std : one fused multiply-add per element,
+  // plus a 256-entry per-channel LUT beats u8->f32 conversion cost.
+  if (c == 3) {
+    float lut[3][256];
+    for (int ch = 0; ch < 3; ++ch) {
+      const float a = scale / stddev[ch];
+      const float b = mean[ch] / stddev[ch];
+      for (int v = 0; v < 256; ++v) lut[ch][v] = v * a - b;
+    }
+    const long n = (long)n_pixels * 3;
+    for (long i = 0; i < n; i += 3) {
+      dst[i + 0] = lut[0][src[i + 0]];
+      dst[i + 1] = lut[1][src[i + 1]];
+      dst[i + 2] = lut[2][src[i + 2]];
+    }
+    return;
+  }
   for (int i = 0; i < n_pixels; ++i) {
     const uint8_t* p = src + i * c;
     float* o = dst + i * c;

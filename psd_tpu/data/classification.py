@@ -93,11 +93,19 @@ class MESClassificationDataset:
             img = ImageEnhance.Contrast(img).enhance(
                 1.0 + self.rng.uniform(-0.2, 0.2)
             )
-        img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
-        arr = np.asarray(img, np.float32) / 255.0
-        arr = (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
-            IMAGENET_STD, np.float32
-        )
+        from . import native
+
+        if native.HAVE_NATIVE:
+            u8 = native.resize_bilinear(
+                np.asarray(img, np.uint8), self.image_size, self.image_size
+            )
+            arr = native.normalize(u8, mean=IMAGENET_MEAN, std=IMAGENET_STD)
+        else:
+            img = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+            arr = np.asarray(img, np.float32) / 255.0
+            arr = (arr - np.asarray(IMAGENET_MEAN, np.float32)) / np.asarray(
+                IMAGENET_STD, np.float32
+            )
         return {"image": arr, "label": np.int32(label)}
 
     def batches(self, batch_size: int, shuffle: bool = True, drop_last: bool = True):

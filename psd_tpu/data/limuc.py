@@ -149,13 +149,24 @@ class LIMUCDataset:
         return counts
 
     def load(self, idx: int) -> Dict[str, np.ndarray]:
+        from . import native
+
         path, label = self.samples[idx]
         img = Image.open(path).convert("RGB")
         if self.augment is not None:
             img = self.augment(img)
-        resized = img.resize((self.image_size, self.image_size), Image.BILINEAR)
-        arr = np.asarray(resized, np.float32) / 255.0  # (S,S,3) in [0,1]
-        sd_image = arr * 2.0 - 1.0
+        if native.HAVE_NATIVE:
+            # native resize (PIL-BILINEAR parity, tests/test_native.py) +
+            # fused u8→f32 SD normalize — one pass instead of three
+            u8 = native.resize_bilinear(
+                np.asarray(img, np.uint8), self.image_size, self.image_size
+            )
+            arr = u8.astype(np.float32) / 255.0  # [0,1] for CLIP preprocessing
+            sd_image = native.normalize(u8, mean=[0.5] * 3, std=[0.5] * 3)
+        else:
+            resized = img.resize((self.image_size, self.image_size), Image.BILINEAR)
+            arr = np.asarray(resized, np.float32) / 255.0  # (S,S,3) in [0,1]
+            sd_image = arr * 2.0 - 1.0
 
         out = {"image": sd_image, "label": np.float32(label)}
         if self.return_clip:

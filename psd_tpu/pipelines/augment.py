@@ -46,13 +46,16 @@ def build_argparser():
     p.add_argument("--max-images", type=int, default=None)
     p.add_argument("--copy-splits", action="store_true",
                    help="copy originals + val/test into output dataset")
+    p.add_argument("--format", type=str, default="bmp", choices=["bmp", "png"],
+                   help="bmp matches the reference's async BMP writes "
+                        "(26x faster via the native writer); png compresses")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
     return p
 
 
 def collect_pending_jobs(
     ds: LIMUCDataset, out_dir: Path, num_classes: int,
-    max_images: int | None = None,
+    max_images: int | None = None, ext: str = "bmp",
 ) -> List[Tuple[int, float, float, Path]]:
     """Resumable job scan: skip outputs that already exist (:313-341)."""
     jobs = []
@@ -64,12 +67,15 @@ def collect_pending_jobs(
             if tgt == src:
                 continue
             cls_name = idx_to_class[tgt]
-            out_path = out_dir / "train" / cls_name / (
-                f"generated_{path.stem}_to_{tgt}.png"
-            )
-            if out_path.exists():
+            stem = f"generated_{path.stem}_to_{tgt}"
+            existing = [
+                out_dir / "train" / cls_name / f"{stem}.{e}"
+                for e in ("bmp", "png")
+            ]
+            if any(p.exists() for p in existing):
                 continue
-            jobs.append((idx, float(src), float(tgt), out_path))
+            jobs.append((idx, float(src), float(tgt),
+                         out_dir / "train" / cls_name / f"{stem}.{ext}"))
     return jobs
 
 
@@ -110,7 +116,8 @@ def main(argv=None):
     if args.copy_splits:
         copy_splits(data_dir, out_dir)
 
-    jobs = collect_pending_jobs(ds, out_dir, num_classes, args.max_images)
+    jobs = collect_pending_jobs(ds, out_dir, num_classes, args.max_images,
+                                ext=args.format)
     print(f"{len(jobs)} pending generation jobs")
     if not jobs:
         return {"generated": 0}

@@ -192,6 +192,11 @@ def main(argv=None) -> dict:
     paths = save_sequence(images, labels, out_dir)
     grid = progression_grid(images, labels, out_dir / "progression_grid.png",
                             reference=display)
+    # structure reference alongside the mes_*.png outputs — consumed by the
+    # paper-figure "reference" mode (scripts/create_paper_figure.py)
+    from ..utils.image_io import save_image
+
+    save_image(np.asarray(display), out_dir / "structure_reference.png")
     print(
         f"Generated {args.mes_steps}-step progression in {dt:.2f}s "
         f"({args.mes_steps / dt:.2f} img/s) → {out_dir}"

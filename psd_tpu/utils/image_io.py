@@ -17,13 +17,27 @@ from PIL import Image, ImageDraw
 
 
 def to_uint8(img: np.ndarray) -> np.ndarray:
-    """(H,W,3) float in [0,1] → uint8."""
+    """(H,W,3) float in [0,1] → uint8 (native fused clip+scale+round when
+    the C++ host kernels are built, psd_tpu.data.native)."""
+    from ..data import native
+
+    if native.HAVE_NATIVE and img.dtype == np.float32:
+        return native.to_uint8(img)
     return (np.clip(img, 0.0, 1.0) * 255.0 + 0.5).astype(np.uint8)
 
 
 def save_image(img: np.ndarray, path: str | Path) -> None:
-    Path(path).parent.mkdir(parents=True, exist_ok=True)
-    Image.fromarray(to_uint8(img)).save(path)
+    path = Path(path)
+    path.parent.mkdir(parents=True, exist_ok=True)
+    u8 = to_uint8(img)
+    if path.suffix.lower() == ".bmp":
+        # native BMP writer (reference async-writes BMPs in the augment
+        # factory, inference_pipeline_ip_data_augment.py:434-498)
+        from ..data import native
+
+        native.write_bmp(path, u8)
+        return
+    Image.fromarray(u8).save(path)
 
 
 def save_sequence(

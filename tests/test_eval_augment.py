@@ -40,8 +40,11 @@ def test_augment_factory_smoke(limuc_dir, tmp_path):
         "--dtype", "fp32",
     ])
     assert result["generated"] == 6  # 2 sources × 3 other classes
-    gen = list(out_dir.glob("train/*/generated_*.png"))
+    gen = list(out_dir.glob("train/*/generated_*.bmp"))
     assert len(gen) == 6
+    # native BMP writer output must round-trip through PIL
+    arr = np.asarray(Image.open(gen[0]))
+    assert arr.shape == (32, 32, 3) and arr.dtype == np.uint8
     # copied originals present
     assert (out_dir / "val" / "Mayo_0").exists()
 

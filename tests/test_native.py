@@ -17,27 +17,24 @@ def test_native_library_built():
     assert native.HAVE_NATIVE, "liblimuc_io.so should build in this image"
 
 
-def test_resize_matches_corner_aligned_reference(img):
-    """Native resize is corner-aligned bilinear (no antialiasing — PIL's
-    BILINEAR applies an area filter on downscale); compare to an exact
-    numpy implementation of the same convention."""
-    oh, ow = 64, 80
-    ours = native.resize_bilinear(img, oh, ow)
-    h, w, c = img.shape
-    ys = np.linspace(0, h - 1, oh)
-    xs = np.linspace(0, w - 1, ow)
-    y0 = np.floor(ys).astype(int)
-    x0 = np.floor(xs).astype(int)
-    y1 = np.minimum(y0 + 1, h - 1)
-    x1 = np.minimum(x0 + 1, w - 1)
-    wy = (ys - y0)[:, None, None]
-    wx = (xs - x0)[None, :, None]
-    f = img.astype(np.float64)
-    top = f[y0][:, x0] * (1 - wx) + f[y0][:, x1] * wx
-    bot = f[y1][:, x0] * (1 - wx) + f[y1][:, x1] * wx
-    ref = (top * (1 - wy) + bot * wy + 0.5).astype(np.uint8)
-    diff = np.abs(ours.astype(int) - ref.astype(int))
-    assert diff.max() <= 1  # float32-vs-float64 rounding only
+@pytest.mark.parametrize("shape,out", [
+    ((120, 160), (64, 80)),     # downscale
+    ((64, 64), (224, 224)),     # upscale
+    ((100, 37), (224, 224)),    # odd aspect upscale
+    ((768, 1024), (256, 256)),  # big downscale (anti-aliased path)
+    ((224, 224), (224, 224)),   # identity
+])
+def test_resize_is_pil_byte_exact(shape, out):
+    """Native resize reproduces Pillow's BILINEAR byte-for-byte (fixed-point
+    convolution resampler, anti-aliased on downscale). This is load-bearing:
+    the loader feeds CLIP/SD preprocessing through it, and the reference's
+    preprocessing is PIL (datamodule_ip.py:81-99)."""
+    rng = np.random.default_rng(0)
+    src = rng.integers(0, 255, (*shape, 3), dtype=np.uint8)
+    oh, ow = out
+    ours = native.resize_bilinear(src, oh, ow)
+    ref = np.asarray(Image.fromarray(src).resize((ow, oh), Image.BILINEAR))
+    np.testing.assert_array_equal(ours, ref)
 
 
 def test_normalize_fused(img):
