@@ -61,8 +61,10 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    block_q = min(512, Sq)
-    block_k = min(512, Sk)
+    # 1024-blocks measured ~10% faster than 512 at the UNet's stage-0 shape
+    # (B8 S4096 D40: 3.83 vs 4.27 ms; scripts/bench_attn2.py, interleaved min)
+    block_q = min(1024, Sq)
+    block_k = min(1024, Sk)
     bs = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
