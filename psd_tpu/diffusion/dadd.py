@@ -174,7 +174,7 @@ class DADDCore(nn.Module):
 
 
 def core_config_from(cfg: Config, remat: Optional[bool] = None,
-                     dtype=jnp.bfloat16) -> DADDCoreConfig:
+                     dtype=jnp.bfloat16, quant: str = "none") -> DADDCoreConfig:
     """Build a DADDCoreConfig from a reference-format Config."""
     m = cfg.model
     attn_mode = "split3" if m.use_routing_gates else "split2"
@@ -193,6 +193,7 @@ def core_config_from(cfg: Config, remat: Optional[bool] = None,
         gate_init_anatomy=m.gate_init_anatomy,
         gate_init_disease=m.gate_init_disease,
         remat=cfg.training.gradient_checkpointing if remat is None else remat,
+        quant=quant,
         dtype=dtype,
     )
     return DADDCoreConfig(

@@ -133,8 +133,16 @@ class ResnetBlock2D(nn.Module):
     use_temb: bool = True
     eps: float = 1e-5
     groups: int = 32
+    quant: str = "none"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
+
+    def _q_conv_ok(self, x) -> bool:
+        """int8 convs win ≥2× only at ≤32² spatial (large channel counts);
+        at 64²/320ch the quant overhead outweighs the MXU gain (measured:
+        scripts/probe_int8.py — 0.86× at 64²·320, 1.98× at 32²·640,
+        2.52× at 16²·1280)."""
+        return self.quant == "int8" and x.shape[1] <= 32 and x.shape[2] <= 32
 
     @nn.compact
     def __call__(self, x, temb=None):
@@ -168,6 +176,22 @@ class ResnetBlock2D(nn.Module):
             else:
                 shortcut = x
             return fused_gn_silu_conv3x3(h, w2, bb2, k2, b2, shortcut)
+
+        if self._q_conv_ok(x):
+            from ..ops.quant import qconv3x3
+
+            h = nn.silu(norm1(x))
+            k1, b1 = conv1(h, apply=False)
+            h = qconv3x3(h.astype(self.dtype), k1, b1, out_dtype=self.dtype)
+            if emb is not None:
+                h = h + emb[:, None, None, :].astype(h.dtype)
+            h = nn.silu(norm2(h))
+            k2, b2 = conv2(h, apply=False)
+            h = qconv3x3(h.astype(self.dtype), k2, b2, out_dtype=self.dtype)
+            if in_ch != self.out_channels:
+                x = nn.Conv(self.out_channels, (1, 1), name="conv_shortcut",
+                            **kw)(x)
+            return x + h
 
         h = norm1(x)
         h = nn.silu(h)
@@ -207,20 +231,15 @@ class Upsample2D(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        b, h, w, c = x.shape
-        # nearest ×2 as broadcast+reshape (jax.image.resize lowers to gathers,
-        # which are bandwidth-catastrophic at 512²×512ch in the VAE decoder)
-        x = jnp.broadcast_to(
-            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
-        ).reshape(b, h * 2, w * 2, c)
-        return nn.Conv(
-            self.channels,
-            (3, 3),
-            padding=1,
-            name="conv",
-            dtype=self.dtype,
-            param_dtype=self.param_dtype,
-        )(x)
+        from ..ops.upconv import upsample2x_conv3x3
+
+        # nearest-up2 + conv fused as 4 phase convs (2×2 taps): exact math,
+        # 2.25× fewer MXU taps, no 4×-sized intermediate (ops/upconv.py)
+        conv = Conv3x3(self.channels, name="conv", dtype=self.dtype,
+                       param_dtype=self.param_dtype)
+        k, bias = conv(x, apply=False)
+        return upsample2x_conv3x3(x.astype(self.dtype), k, bias,
+                                  dtype=self.dtype)
 
 
 @dataclass(frozen=True)
@@ -261,6 +280,7 @@ class Attention(nn.Module):
     num_heads: int
     mode: CrossAttnMode = CrossAttnMode()
     out_bias: bool = True
+    quant: str = "none"  # "int8": W8A8 MXU path for the big projections
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -282,18 +302,37 @@ class Attention(nn.Module):
                             param_dtype=self.param_dtype)(ctx_dim)
         wv, _ = DenseParams(inner_dim, use_bias=False, name="to_v",
                             param_dtype=self.param_dtype)(ctx_dim)
+        from ..ops.quant import quant_worthwhile
 
-        def dense(t, w):
+        # int8 projections only where the contraction depth pays (K=C);
+        # otherwise keep the fused bf16 LN→proj Pallas path
+        use_q8 = self.quant == "int8" and quant_worthwhile(inner_dim)
+
+        def dense(t, w, b=None):
+            if use_q8:
+                from ..ops.quant import qdense
+
+                return qdense(t, w, b, out_dtype=self.dtype)
+            out = jnp.dot(
+                t.astype(self.dtype), w.astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            )
+            if b is not None:
+                out = out + b.astype(jnp.float32)
+            return out.astype(self.dtype)
+
+        def dense_sm(t, w):
+            # small-operand matmul (16-48 token cross K/V): int8 buys nothing
             return jnp.dot(
                 t.astype(self.dtype), w.astype(self.dtype),
                 preferred_element_type=jnp.float32,
             ).astype(self.dtype)
 
         def to_k(t):
-            return dense(t, wk)
+            return dense_sm(t, wk)
 
         def to_v(t):
-            return dense(t, wv)
+            return dense_sm(t, wv)
 
         def heads(t):
             return t.reshape(B, -1, self.num_heads, head_dim)
@@ -307,7 +346,7 @@ class Attention(nn.Module):
             from ..ops.geglu import ln_reference, ln_proj
 
             ws = (wq,) if is_cross else (wq, wk, wv)
-            if _ln_geglu_fused_ok(x):
+            if not use_q8 and _ln_geglu_fused_ok(x):
                 outs = ln_proj(
                     x.reshape(B * S, inner_dim).astype(self.dtype),
                     ln_scale, ln_bias, ws,
@@ -396,7 +435,9 @@ class Attention(nn.Module):
             z = dot_product_attention(q, k, v)
 
         z = z.reshape(B, -1, inner_dim)
-        return nn.Dense(inner_dim, use_bias=self.out_bias, name="to_out_0", **kw)(z)
+        wo, bo = DenseParams(inner_dim, use_bias=self.out_bias, name="to_out_0",
+                             param_dtype=self.param_dtype)(inner_dim)
+        return dense(z, wo, bo)
 
 
 class DenseParams(nn.Module):
@@ -421,6 +462,27 @@ class DenseParams(nn.Module):
             if self.use_bias
             else None
         )
+        return k, b
+
+
+class Conv1x1Params(nn.Module):
+    """nn.Conv((1,1))-compatible params (kernel (1,1,Cin,Cout), bias) without
+    applying — for matmul-form 1×1 convolutions (quantized or fused)."""
+
+    features: int
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, in_features: int = None):
+        in_f = in_features if in_features is not None else self.features
+        k = self.param(
+            "kernel",
+            nn.initializers.lecun_normal(),
+            (1, 1, in_f, self.features),
+            self.param_dtype,
+        )
+        b = self.param("bias", nn.initializers.zeros, (self.features,),
+                       self.param_dtype)
         return k, b
 
 
@@ -456,6 +518,7 @@ class GEGLUFeedForward(nn.Module):
     (ops/geglu.py) — the 8·dim-wide intermediate never touches HBM."""
 
     mult: int = 4
+    quant: str = "none"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -463,7 +526,15 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x, ln_scale=None, ln_bias=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dim = x.shape[-1]
-        if ln_scale is None:
+        from ..ops.quant import quant_worthwhile
+
+        use_q8 = self.quant == "int8"
+        # net_0 contracts over dim, net_2 over 4·dim: quantize each only
+        # where the depth pays (MIN_QUANT_K); a bf16-net_0 int8-net_2 mix
+        # keeps the fused LN→GEGLU kernel for the shallow stage-0 width.
+        q8_net0 = use_q8 and quant_worthwhile(dim)
+        q8_net2 = use_q8 and quant_worthwhile(dim * self.mult)
+        if ln_scale is None and not use_q8:
             # legacy path: caller already normalized
             h = nn.Dense(dim * self.mult * 2, name="net_0_proj", **kw)(x)
             h, gate = jnp.split(h, 2, axis=-1)
@@ -475,6 +546,42 @@ class GEGLUFeedForward(nn.Module):
             param_dtype=self.param_dtype,
         )(dim)
         B, S, _ = x.shape
+        if q8_net0 or (use_q8 and ln_scale is None):
+            from ..ops.geglu import ln_reference
+            from ..ops.quant import qdense
+
+            xn = (
+                ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
+                if ln_scale is not None
+                else x
+            )
+            proj = qdense(xn, w0, b0, out_dtype=jnp.float32)
+            h, gate = jnp.split(proj, 2, axis=-1)
+            h = (h * gelu(gate)).astype(self.dtype)
+            w2, b2 = DenseParams(dim, name="net_2",
+                                 param_dtype=self.param_dtype)(dim * self.mult)
+            return qdense(h, w2, b2, out_dtype=self.dtype)
+        if q8_net2:
+            from ..ops.geglu import ln_geglu, ln_reference
+            from ..ops.quant import qdense
+
+            if _ln_geglu_fused_ok(x):
+                h = ln_geglu(
+                    x.reshape(B * S, dim).astype(self.dtype),
+                    ln_scale, ln_bias, w0, b0,
+                ).reshape(B, S, dim * self.mult)
+            else:
+                xn = ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
+                proj = (
+                    jnp.dot(xn, w0.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+                    + b0.astype(jnp.float32)
+                )
+                hh, gate = jnp.split(proj, 2, axis=-1)
+                h = (hh * gelu(gate)).astype(self.dtype)
+            w2, b2 = DenseParams(dim, name="net_2",
+                                 param_dtype=self.param_dtype)(dim * self.mult)
+            return qdense(h, w2, b2, out_dtype=self.dtype)
         if _ln_geglu_fused_ok(x):
             from ..ops.geglu import ln_geglu
 
@@ -501,6 +608,7 @@ class BasicTransformerBlock(nn.Module):
 
     num_heads: int
     mode: CrossAttnMode = CrossAttnMode()
+    quant: str = "none"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -510,7 +618,8 @@ class BasicTransformerBlock(nn.Module):
         # kernels on TPU (ops/geglu.py); param tree matches nn.LayerNorm.
         C = x.shape[-1]
         s1, b1 = LayerNormParams(name="norm1", param_dtype=self.param_dtype)(C)
-        x = x + Attention(self.num_heads, name="attn1", dtype=self.dtype,
+        x = x + Attention(self.num_heads, name="attn1", quant=self.quant,
+                          dtype=self.dtype,
                           param_dtype=self.param_dtype)(
             x, ln_scale=s1, ln_bias=b1)
         s2, b2 = LayerNormParams(name="norm2", param_dtype=self.param_dtype)(C)
@@ -518,6 +627,7 @@ class BasicTransformerBlock(nn.Module):
             self.num_heads,
             mode=self.mode,
             name="attn2",
+            quant=self.quant,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x, context=context, delta_scale=delta_scale,
@@ -526,7 +636,7 @@ class BasicTransformerBlock(nn.Module):
         s3, b3 = LayerNormParams(name="norm3", param_dtype=self.param_dtype)(
             x.shape[-1]
         )
-        x = x + GEGLUFeedForward(name="ff", dtype=self.dtype,
+        x = x + GEGLUFeedForward(name="ff", quant=self.quant, dtype=self.dtype,
                                  param_dtype=self.param_dtype)(x, s3, b3)
         return x
 
@@ -537,6 +647,7 @@ class Transformer2D(nn.Module):
     num_heads: int
     depth: int = 1
     mode: CrossAttnMode = CrossAttnMode()
+    quant: str = "none"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -545,17 +656,38 @@ class Transformer2D(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         B, H, W, C = x.shape
         residual = x
+        use_q8 = self.quant == "int8"
         h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
-        h = nn.Conv(C, (1, 1), name="proj_in", **kw)(h)
+
+        def conv1x1(t, name):
+            # 1×1 conv ≡ matmul over flattened pixels; nn.Conv-compatible tree
+            k = Conv1x1Params(C, name=name, param_dtype=self.param_dtype)
+            kernel, bias = k()
+            if use_q8:
+                from ..ops.quant import qdense
+
+                flat = t.reshape(-1, t.shape[-1])
+                out = qdense(flat, kernel.reshape(t.shape[-1], C), bias,
+                             out_dtype=self.dtype)
+                return out.reshape(t.shape[:-1] + (C,))
+            out = jnp.dot(
+                t.astype(self.dtype).reshape(-1, t.shape[-1]),
+                kernel.reshape(t.shape[-1], C).astype(self.dtype),
+                preferred_element_type=jnp.float32,
+            ) + bias.astype(jnp.float32)
+            return out.astype(self.dtype).reshape(t.shape[:-1] + (C,))
+
+        h = conv1x1(h, "proj_in")
         h = h.reshape(B, H * W, C)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.num_heads,
                 mode=self.mode,
                 name=f"transformer_blocks_{d}",
+                quant=self.quant,
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(h, context, delta_scale)
         h = h.reshape(B, H, W, C)
-        h = nn.Conv(C, (1, 1), name="proj_out", **kw)(h)
+        h = conv1x1(h, "proj_out")
         return h + residual

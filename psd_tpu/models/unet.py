@@ -53,6 +53,9 @@ class UNetConfig:
     gate_init_anatomy: Tuple[float, float] = (0.5, 0.5)
     gate_init_disease: Tuple[float, float] = (0.5, 0.5)
     gate_init_both: Tuple[float, float] = (0.5, 0.5)
+    # "int8": W8A8 MXU inference path (big matmuls + ≤32² convs; quality-
+    # gated, see ops/quant.py). Inference-only — keep "none" for training.
+    quant: str = "none"
     remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -144,13 +147,15 @@ class UNet2DCondition(nn.Module):
             mode = cfg.attn_mode_for("down", i)
             for j in range(cfg.layers_per_block):
                 h = ResBlock(
-                    out_ch, name=f"down_blocks_{i}_resnets_{j}", **kw
+                    out_ch, name=f"down_blocks_{i}_resnets_{j}",
+                    quant=cfg.quant, **kw
                 )(h, temb)
                 if has_attn:
                     h = AttnBlock(
                         cfg.num_heads,
                         depth=cfg.transformer_depth,
                         mode=mode,
+                        quant=cfg.quant,
                         name=f"down_blocks_{i}_attentions_{j}",
                         **kw,
                     )(h, ctx, delta_scale)
@@ -161,15 +166,18 @@ class UNet2DCondition(nn.Module):
 
         # --- mid ---
         mid_ch = cfg.block_out_channels[-1]
-        h = ResBlock(mid_ch, name="mid_block_resnets_0", **kw)(h, temb)
+        h = ResBlock(mid_ch, name="mid_block_resnets_0", quant=cfg.quant,
+                     **kw)(h, temb)
         h = AttnBlock(
             cfg.num_heads,
             depth=cfg.transformer_depth,
             mode=cfg.attn_mode_for("mid"),
+            quant=cfg.quant,
             name="mid_block_attentions_0",
             **kw,
         )(h, ctx, delta_scale)
-        h = ResBlock(mid_ch, name="mid_block_resnets_1", **kw)(h, temb)
+        h = ResBlock(mid_ch, name="mid_block_resnets_1", quant=cfg.quant,
+                     **kw)(h, temb)
 
         # --- up path ---
         rev_channels = tuple(reversed(cfg.block_out_channels))
@@ -180,12 +188,14 @@ class UNet2DCondition(nn.Module):
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 h = jnp.concatenate([h, skip], axis=-1)
-                h = ResBlock(out_ch, name=f"up_blocks_{i}_resnets_{j}", **kw)(h, temb)
+                h = ResBlock(out_ch, name=f"up_blocks_{i}_resnets_{j}",
+                             quant=cfg.quant, **kw)(h, temb)
                 if has_attn:
                     h = AttnBlock(
                         cfg.num_heads,
                         depth=cfg.transformer_depth,
                         mode=mode,
+                        quant=cfg.quant,
                         name=f"up_blocks_{i}_attentions_{j}",
                         **kw,
                     )(h, ctx, delta_scale)

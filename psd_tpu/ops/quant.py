@@ -1,0 +1,154 @@
+"""W8A8 int8 quantized matmul/conv primitives for TPU inference.
+
+The v5e MXU runs int8×int8→int32 at 2× the bf16 rate (measured on-chip:
+dot 4096³ 369 TOPS vs 162 TFLOPS bf16; conv3×3 1280ch 2.5×, 640ch 2.0× —
+scripts/probe_int8.py). Since the 50-step DDIM sampling step is MXU-bound
+(docs/perf_notes.md), an int8 inference mode is the only route past the
+bf16 padded-FLOP ceiling (~45 ms/step ≈ 3.3 img/s at batch 8).
+
+Scheme (standard W8A8 dynamic quantization):
+  * weights: symmetric per-output-channel scales, quantized inline from the
+    bf16 tree — XLA's while-loop LICM hoists the (loop-invariant) weight
+    quantization out of the sampling scan, so it costs one pass per batch,
+    not per step.
+  * activations: symmetric dynamic per-row (per-token) scales for matmuls —
+    rows are never contracted, so per-row dequant is exact; per-tensor
+    scale for convs (the 3×3 window mixes pixels, so finer act scales would
+    land inside the contraction).
+  * accumulation int32 on the MXU, dequant in the fp32 epilogue.
+
+Quality: quantization error is bounded by the per-row/channel amax; the
+golden gate (tests/test_quant.py + tests/test_golden_unet.py int8 case)
+asserts eps-prediction error stays within the bf16 noise floor and
+end-to-end samples match bf16 sampling to PSNR ≥ 35 dB before bench.py may
+enable the mode.
+
+Capability note: the reference has no quantized path (fp16 autocast only,
+evaluation_pipeline.py:943); this is a TPU-native extension, default OFF.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+_EPS = 1e-8
+
+# int8 MXU matmuls only beat bf16 for deep contractions on v5e (measured,
+# scripts/probe_int8.py: K=320 0.9-1.0x, K=512 1.2x, K=1280 1.8x, K=4096
+# 2.3x). Below this K the conversion/pipeline overhead eats the rate win.
+MIN_QUANT_K = 512
+
+
+def quant_worthwhile(k: int) -> bool:
+    return k >= MIN_QUANT_K
+
+
+def quant_rows(x: jnp.ndarray):
+    """Symmetric per-row int8 quantization of a (..., K) activation.
+
+    Returns (q, scale) with q int8 of x's shape and scale fp32 of shape
+    (..., 1): x ≈ q * scale."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def quant_tensor(x: jnp.ndarray):
+    """Symmetric whole-tensor int8 quantization; returns (q, scalar scale)."""
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf))
+    scale = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    q = jnp.round(xf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def quant_cols(w: jnp.ndarray, axis: int = -1):
+    """Symmetric per-output-channel weight quantization.
+
+    `axis` is the OUTPUT axis (not contracted); scales broadcast there."""
+    wf = w.astype(jnp.float32)
+    red = tuple(i for i in range(w.ndim) if i != (axis % w.ndim))
+    amax = jnp.max(jnp.abs(wf), axis=red, keepdims=True)
+    scale = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    q = jnp.round(wf / scale).astype(jnp.int8)
+    return q, scale
+
+
+def qdense(
+    x: jnp.ndarray,  # (..., K)
+    w: jnp.ndarray,  # (K, N) bf16/fp32 — quantized inline (LICM-hoisted)
+    b: Optional[jnp.ndarray] = None,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """int8×int8→int32 MXU matmul with dynamic per-row activation scales.
+
+    Falls back to a bf16 MXU matmul for shallow contractions where int8
+    does not pay (see MIN_QUANT_K)."""
+    out_dtype = out_dtype or x.dtype
+    if not quant_worthwhile(x.shape[-1]):
+        out = jnp.dot(
+            x.astype(out_dtype), w.astype(out_dtype),
+            preferred_element_type=jnp.float32,
+        )
+        if b is not None:
+            out = out + b.astype(jnp.float32)
+        return out.astype(out_dtype)
+    xq, sx = quant_rows(x)
+    wq, sw = quant_cols(w, axis=-1)  # (K,N) → scale (1,N)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * sx * sw.reshape(1, -1)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def qconv3x3(
+    x: jnp.ndarray,  # (B, H, W, Cin)
+    w: jnp.ndarray,  # (3, 3, Cin, Cout)
+    b: Optional[jnp.ndarray] = None,
+    stride: int = 1,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """int8 SAME conv with per-tensor act scale + per-Cout weight scales.
+
+    Zero padding is exact under symmetric quantization (0 → 0)."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quant_tensor(x)
+    wq, sw = quant_cols(w, axis=-1)  # (1,1,1,Cout)
+    dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xq, wq, (stride, stride), "SAME",
+        dimension_numbers=dn, preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * (sx * sw.reshape(1, 1, 1, -1))
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(out_dtype)
+
+
+def qdense_pre(
+    x: jnp.ndarray,
+    wq: jnp.ndarray,  # (K, N) int8, pre-quantized
+    sw: jnp.ndarray,  # (N,) or (1, N) fp32
+    b: Optional[jnp.ndarray] = None,
+    out_dtype: Optional[jnp.dtype] = None,
+) -> jnp.ndarray:
+    """qdense against already-quantized weights (for fused-kernel callers)."""
+    out_dtype = out_dtype or x.dtype
+    xq, sx = quant_rows(x)
+    acc = jax.lax.dot_general(
+        xq, wq, (((x.ndim - 1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    out = acc.astype(jnp.float32) * sx * sw.reshape(1, -1)
+    if b is not None:
+        out = out + b.astype(jnp.float32)
+    return out.astype(out_dtype)

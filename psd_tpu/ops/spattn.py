@@ -1,0 +1,141 @@
+"""Single-pass spatial attention kernel for the UNet's self-attention.
+
+The UNet's spatial sequences are short enough (≤4096 tokens at 512²
+latents) that a full logit row fits in VMEM, so the online-softmax
+machinery of the generic flash kernel (running max/sum, per-block
+rescaling) is pure overhead: this kernel loads K/V for the whole sequence
+once per (batch·head), computes one exact fp32 softmax per query block,
+and writes the output — no rescale passes, no m/l bookkeeping, no extra
+HBM round trips.
+
+Replaces the reference's F.scaled_dot_product_attention CUDA path for the
+SD UNet self-attention sites (diffusers AttnProcessor2_0, used via
+attention_processor_base.py:197 / attention_processor_routing_gates.py:286).
+
+VMEM at the worst shape (S=4096, D=40→128 lanes, BQ=256):
+K/V 2×1 MB + logits fp32 4 MB + probs 2 MB + q/out ≈ 7.5 MB — fits with
+double buffering. Backward: custom VJP that recomputes through the stock
+flash kernel's VJP (both paths compute the same function; the fused
+backward kernels there are already efficient).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
+    q = q_ref[0]  # (BQ, D)
+    k = k_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D)
+    logits = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (BQ, S)
+    logits = logits * scale
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    z = jax.lax.dot_general(
+        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    )  # (BQ, D)
+    o_ref[0] = (z / l).astype(o_ref.dtype)
+
+
+def _spattn_fwd_impl(q, k, v, scale, block_q, interpret):
+    BH, S, D = q.shape
+    BQ = min(block_q, S)
+    assert S % BQ == 0
+    out = pl.pallas_call(
+        functools.partial(_kernel, scale=scale),
+        grid=(BH, S // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(q, k, v)
+    return out
+
+
+def _xla_reference(q, k, v, scale):
+    logits = jnp.einsum(
+        "bqd,bkd->bqk", q, k, preferred_element_type=jnp.float32
+    ) * scale
+    probs = jax.nn.softmax(logits, axis=-1)
+    return jnp.einsum(
+        "bqk,bkd->bqd", probs.astype(v.dtype), v,
+        preferred_element_type=jnp.float32,
+    ).astype(q.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5))
+def _spattn(q, k, v, scale, block_q, interpret):
+    return _spattn_fwd_impl(q, k, v, scale, block_q, interpret)
+
+
+def _fwd(q, k, v, scale, block_q, interpret):
+    return _spattn_fwd_impl(q, k, v, scale, block_q, interpret), (q, k, v)
+
+
+def _bwd(scale, block_q, interpret, res, g):
+    q, k, v = res
+    # recompute-based backward through the generic flash VJP (fused Pallas
+    # backward kernels); on CPU/interpret use the XLA reference math
+    if interpret:
+        _, vjp_fn = jax.vjp(lambda q, k, v: _xla_reference(q, k, v, scale), q, k, v)
+    else:
+        from jax.experimental.pallas.ops.tpu.flash_attention import (
+            flash_attention as pallas_flash,
+        )
+
+        def f(q, k, v):
+            return pallas_flash(
+                q[None], k[None], v[None], causal=False, sm_scale=scale
+            )[0]
+
+        _, vjp_fn = jax.vjp(f, q, k, v)
+    return vjp_fn(g)
+
+
+_spattn.defvjp(_fwd, _bwd)
+
+
+def spatial_attention(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Sk, H, D)
+    v: jnp.ndarray,
+    scale: Optional[float] = None,
+    block_q: int = 256,
+    interpret: Optional[bool] = None,
+) -> Optional[jnp.ndarray]:
+    """Single-pass attention; returns None when the caller should fall back
+    (ragged shapes / sequence too long for whole-row VMEM residency)."""
+    B, Sq, H, D = q.shape
+    Sk = k.shape[1]
+    if Sq != Sk or Sq % 256 or Sq > 4096 or D > 256:
+        return None
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:
+            interpret = True
+    sm_scale = float(scale) if scale is not None else D**-0.5
+
+    qt = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
+    kt = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    vt = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
+    out = _spattn(qt, kt, vt, sm_scale, block_q, interpret)
+    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3).astype(q.dtype)

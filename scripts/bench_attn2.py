@@ -53,10 +53,16 @@ def main():
     q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D)).astype(jnp.bfloat16)
     check = jax.jit(lambda t: t.astype(jnp.float32).sum())
 
+    from psd_tpu.ops.spattn import spatial_attention
+
     variants = {}
     variants["flash q1024 k1024"] = build_loop(flash_variant(1024, 1024), q)
-    variants["flash q512 k512"] = build_loop(flash_variant(512, 512), q)
-    variants["flash q2048 k1024"] = build_loop(flash_variant(2048, 1024), q)
+    variants["spattn bq256"] = build_loop(
+        lambda t: spatial_attention(t, t, t, block_q=256), q)
+    variants["spattn bq512"] = build_loop(
+        lambda t: spatial_attention(t, t, t, block_q=512), q)
+    variants["spattn bq1024"] = build_loop(
+        lambda t: spatial_attention(t, t, t, block_q=1024), q)
 
     # compile + correctness warmup
     ok = {}

@@ -95,18 +95,22 @@ def main():
     orig_trans = L.Transformer2D.__call__
     orig_res = L.ResnetBlock2D.__call__
 
-    def attn_no_self(self, x, context=None, delta_scale=None):
+    def attn_no_self(self, x, context=None, delta_scale=None,
+                     ln_scale=None, ln_bias=None):
         if context is None:
             # keep params: declare then discard (flax requires same structure)
-            orig = orig_attn(self, x[:1, :1], None, delta_scale)
+            orig = orig_attn(self, x[:1, :1], None, delta_scale,
+                             ln_scale, ln_bias)
             return jnp.zeros_like(x) + orig.mean() * 0
-        return orig_attn(self, x, context, delta_scale)
+        return orig_attn(self, x, context, delta_scale, ln_scale, ln_bias)
 
-    def attn_no_cross(self, x, context=None, delta_scale=None):
+    def attn_no_cross(self, x, context=None, delta_scale=None,
+                      ln_scale=None, ln_bias=None):
         if context is not None:
-            orig = orig_attn(self, x[:1, :1], context[:1, :1], delta_scale)
+            orig = orig_attn(self, x[:1, :1], context[:1, :1], delta_scale,
+                             ln_scale, ln_bias)
             return jnp.zeros_like(x) + orig.mean() * 0
-        return orig_attn(self, x, context, delta_scale)
+        return orig_attn(self, x, context, delta_scale, ln_scale, ln_bias)
 
     def ff_noop(self, x, ln_scale=None, ln_bias=None):
         orig = orig_ff(self, x[:1, :1], ln_scale, ln_bias)

@@ -133,11 +133,11 @@ def profile_resblock(B):
         print(f"resblock {tag} B{B} {H}x{H}x{C}: {t*1e3:.2f} ms")
 
 
-def profile_unet(B):
+def profile_unet(B, quant="none"):
     from psd_tpu.models.unet import UNet2DCondition, sd14_unet_config
     from psd_tpu.utils.fast_init import fast_init
 
-    cfg = sd14_unet_config(attn_mode="split3")
+    cfg = sd14_unet_config(attn_mode="split3", quant=quant)
     unet = UNet2DCondition(cfg)
     lat = jnp.zeros((1, 64, 64, 4), jnp.bfloat16)
     t0 = jnp.zeros((1,), jnp.int32)
@@ -157,7 +157,7 @@ def profile_unet(B):
         return out
 
     t = (_sync_time(jax.jit(loop), params, x, tt, c) - dispatch_overhead()) / 10
-    print(f"UNet eps B{B} 64x64: {t*1e3:.2f} ms/step -> "
+    print(f"UNet eps B{B} 64x64 quant={quant}: {t*1e3:.2f} ms/step -> "
           f"{B/(t*50):.2f} img/s at 50 steps (ex-VAE)")
     return t
 
@@ -169,6 +169,7 @@ def main():
     ap.add_argument("--skip-micro", action="store_true")
     ap.add_argument("--only", default=None,
                     help="comma list: hbm,matmul,attn,geglu,resblock,unet")
+    ap.add_argument("--quant", default="none", help="UNet quant mode")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
     only = args.only.split(",") if args.only else None
@@ -195,7 +196,7 @@ def main():
                 profile_resblock(B)
     if (not args.skip_unet) and (only is None or "unet" in only):
         for B in batches:
-            profile_unet(B)
+            profile_unet(B, quant=args.quant)
 
 
 if __name__ == "__main__":
