@@ -48,6 +48,90 @@ def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
     o_ref[0] = (z / l).astype(o_ref.dtype)
 
 
+def _kernel_q8(q_ref, sq_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
+               scale, pv8):
+    """int8 QK^T (and optionally int8 PV) variant.
+
+    Dequant is exact per element: logits[i,j] = acc[i,j]·sq[i]·sk[j]·scale
+    (row scales are outside the contraction). For PV the probs are
+    normalized first so each row's max is pmax/l, then quantized per-row —
+    diffuse attention rows keep ~0.4% relative resolution instead of
+    underflowing to zero."""
+    q = q_ref[0]  # (BQ, D) int8
+    k = k_ref[0]  # (S, D) int8
+    acc = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
+    )  # (BQ, S)
+    sq = sq_ref[0].reshape(-1, 1)  # (BQ, 1)
+    sk = sk_ref[0].reshape(1, -1)  # (1, S)
+    logits = acc.astype(jnp.float32) * (sq * scale) * sk
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    if pv8:
+        v = v_ref[0]  # (S, D) int8
+        sv = sv_ref[0].reshape(1, -1)  # (1, D)
+        pn = p / l
+        pmax = jnp.max(pn, axis=-1, keepdims=True)
+        ps = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
+        pq = jnp.round(pn / ps).astype(jnp.int8)
+        zi = jax.lax.dot_general(
+            pq, v, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+        )
+        z = zi.astype(jnp.float32) * ps * sv
+        o_ref[0] = z.astype(o_ref.dtype)
+    else:
+        v = v_ref[0]  # (S, D) bf16
+        z = jax.lax.dot_general(
+            p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[0] = (z / l).astype(o_ref.dtype)
+
+
+def _spattn_q8_impl(q, k, v, scale, block_q, pv8, interpret):
+    """q, k, v: (BH, S, D) bf16 — quantized here at XLA level (fused cheap
+    passes), int8 MXU contractions inside the kernel."""
+    from .quant import quant_rows
+
+    BH, S, D = q.shape
+    BQ = min(block_q, S)
+    assert S % BQ == 0
+    qq, sq = quant_rows(q)  # (BH,S,D) int8, (BH,S,1)
+    kq, sk = quant_rows(k)
+    sq2 = sq.reshape(BH, S)
+    sk2 = sk.reshape(BH, S)
+    if pv8:
+        vf = v.astype(jnp.float32)
+        vmax = jnp.max(jnp.abs(vf), axis=1, keepdims=True)  # (BH,1,D)
+        sv = jnp.maximum(vmax, 1e-8) * (1.0 / 127.0)
+        vq = jnp.round(vf / sv).astype(jnp.int8)
+        sv2 = sv.reshape(BH, D)
+    else:
+        vq = v
+        sv2 = jnp.ones((BH, D), jnp.float32)
+
+    out = pl.pallas_call(
+        functools.partial(_kernel_q8, scale=scale, pv8=pv8),
+        grid=(BH, S // BQ),
+        in_specs=[
+            pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
+            pl.BlockSpec((1, BQ), lambda b, j: (b, j)),
+            pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, D), lambda b, j: (b, 0)),
+        ],
+        out_specs=pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
+        out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+        ),
+    )(qq, sq2, kq, sk2, vq, sv2)
+    return out
+
+
 def _spattn_fwd_impl(q, k, v, scale, block_q, interpret):
     BH, S, D = q.shape
     BQ = min(block_q, S)
@@ -119,10 +203,15 @@ def spatial_attention(
     v: jnp.ndarray,
     scale: Optional[float] = None,
     block_q: int = 256,
+    quant: str = "none",  # "qk8" (int8 QK^T) | "int8" (QK^T + PV int8)
     interpret: Optional[bool] = None,
 ) -> Optional[jnp.ndarray]:
     """Single-pass attention; returns None when the caller should fall back
-    (ragged shapes / sequence too long for whole-row VMEM residency)."""
+    (ragged shapes / sequence too long for whole-row VMEM residency).
+
+    quant modes are inference-only (no VJP) and quality-gated in
+    tests/test_spattn.py: exact per-row dequant ahead of the fp32 softmax
+    keeps the logit error in the int8 rounding band (~0.4%)."""
     B, Sq, H, D = q.shape
     Sk = k.shape[1]
     if Sq != Sk or Sq % 256 or Sq > 4096 or D > 256:
@@ -137,5 +226,9 @@ def spatial_attention(
     qt = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
     kt = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
     vt = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    out = _spattn(qt, kt, vt, sm_scale, block_q, interpret)
+    if quant in ("qk8", "int8"):
+        out = _spattn_q8_impl(qt, kt, vt, sm_scale, block_q,
+                              quant == "int8", interpret)
+    else:
+        out = _spattn(qt, kt, vt, sm_scale, block_q, interpret)
     return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3).astype(q.dtype)

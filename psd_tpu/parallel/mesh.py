@@ -131,3 +131,71 @@ def shard_params(params, mesh: Mesh):
         )
 
     return jax.tree_util.tree_map(_put, params)
+
+
+# ---- tensor parallelism (tp axis) ----------------------------------------
+# Megatron-style sharding of the UNet transformer sites, expressed purely as
+# parameter PartitionSpecs — GSPMD propagates activation shardings and
+# inserts the psum at each row-parallel output (no model-code changes):
+#
+#   to_q/to_k/to_v/to_k_dis/to_v_dis  (C_in, C)  → column-parallel P(_, tp)
+#       (heads split across tp: C = H·D reshapes head-major, so contiguous
+#        C-shards are whole-head groups and attention stays rank-local)
+#   to_out_0                          (C, C)     → row-parallel P(tp, _)
+#   ff net_2                          (4C, C)    → row-parallel P(tp, _)
+#   (ff net_0_proj stays replicated: its [h|g] GEGLU halves split at 4C,
+#    so an output shard would put h and gate on different ranks)
+#
+# The reference has no TP of any kind (SURVEY.md §2.2); this axis exists for
+# large-batch multi-chip sampling throughput. NOTE: the custom Pallas
+# kernels (spattn/split3/ln_geglu) are single-chip programs — under a tp>1
+# mesh the model's XLA fallback paths partition instead; wrapping the
+# kernels in shard_map is the planned path to TP+Pallas composition.
+
+_TP_COL = ("to_q", "to_k", "to_v", "to_k_dis", "to_v_dis")
+_TP_ROW = ("to_out_0", "net_2")
+
+
+def tp_param_spec(path: str, shape, mesh: Mesh) -> Optional[P]:
+    """Tensor-parallel spec for a UNet param path, or None if not TP-sharded.
+
+    `path` is the '/'-joined module path of the leaf (e.g.
+    '.../attn1/to_q/kernel')."""
+    n = mesh.shape.get("tp", 1)
+    if n <= 1 or not path.endswith("/kernel") or len(shape) != 2:
+        return None
+    parts = path.split("/")
+    if len(parts) < 2:
+        return None
+    module = parts[-2]
+    if module in _TP_COL and shape[1] % n == 0:
+        return P(None, "tp")
+    if module in _TP_ROW and shape[0] % n == 0:
+        return P("tp", None)
+    return None
+
+
+def _path_str(path) -> str:
+    import re
+
+    # normalize GetAttrKey/DictKey/SequenceKey reprs to a plain a/b/c path
+    return "/".join(
+        re.sub(r"[^\w.\-]", "", str(p)).lstrip(".") for p in path
+    )
+
+
+def param_spec(path, shape, mesh: Mesh) -> P:
+    """Combined tp-then-fsdp spec for one parameter leaf."""
+    tp = tp_param_spec(_path_str(path), shape, mesh)
+    if tp is not None:
+        return tp
+    return fsdp_param_spec(shape, mesh)
+
+
+def shard_params_tp(params, mesh: Mesh):
+    """Place a param tree with TP specs on transformer sites and fsdp
+    elsewhere (tp=1 meshes degrade to plain shard_params)."""
+    def _put(path, x):
+        return jax.device_put(x, NamedSharding(mesh, param_spec(path, x.shape, mesh)))
+
+    return jax.tree_util.tree_map_with_path(_put, params)

@@ -101,15 +101,18 @@ def make_train_step(dadd: DADD, tx: optax.GradientTransformation,
 
 
 def shard_train_state(state: TrainState, mesh: Mesh) -> TrainState:
-    """Place the state on the mesh: fsdp-shard params/opt/ema, replicate step."""
-    def place(x):
+    """Place the state on the mesh: tp-shard transformer kernels (tp>1),
+    fsdp-shard the rest of params/opt/ema, replicate scalars."""
+    from ..parallel.mesh import param_spec
+
+    def place(path, x):
         if hasattr(x, "shape") and x.ndim >= 1:
             return jax.device_put(
-                x, NamedSharding(mesh, fsdp_param_spec(x.shape, mesh))
+                x, NamedSharding(mesh, param_spec(path, x.shape, mesh))
             )
         return jax.device_put(x, NamedSharding(mesh, P()))
 
-    return jax.tree_util.tree_map(place, state)
+    return jax.tree_util.tree_map_with_path(place, state)
 
 
 def compile_train_step(

@@ -59,10 +59,10 @@ def main():
     variants["flash q1024 k1024"] = build_loop(flash_variant(1024, 1024), q)
     variants["spattn bq256"] = build_loop(
         lambda t: spatial_attention(t, t, t, block_q=256), q)
-    variants["spattn bq512"] = build_loop(
-        lambda t: spatial_attention(t, t, t, block_q=512), q)
-    variants["spattn bq1024"] = build_loop(
-        lambda t: spatial_attention(t, t, t, block_q=1024), q)
+    variants["spattn qk8"] = build_loop(
+        lambda t: spatial_attention(t, t, t, block_q=256, quant="qk8"), q)
+    variants["spattn int8"] = build_loop(
+        lambda t: spatial_attention(t, t, t, block_q=256, quant="int8"), q)
 
     # compile + correctness warmup
     ok = {}

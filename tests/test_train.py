@@ -128,6 +128,66 @@ def test_fsdp_mesh_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+def test_tp_mesh_train_step():
+    """dp=2 × tp=2 (Megatron-style head/row sharding of the transformer
+    kernels via tp_param_spec): kernels actually sharded over tp, loss
+    matches the dp-only run (TP is a pure re-layout of the same math)."""
+    from jax.sharding import PartitionSpec as P
+
+    from psd_tpu.parallel.mesh import tp_param_spec
+
+    model = tiny_dadd()
+    mesh = create_mesh(MeshConfig(dp=4, tp=2))
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    state = shard_train_state(state, mesh)
+
+    # spec sanity on real paths
+    spec = tp_param_spec("a/attn1/to_q/kernel", (32, 32), mesh)
+    assert spec == P(None, "tp")
+    assert tp_param_spec("a/ff/net_2/kernel", (64, 16), mesh) == P("tp", None)
+    assert tp_param_spec("a/conv1/kernel", (3, 3, 8, 8), mesh) is None
+
+    # at least one attention kernel must be tp-sharded on device
+    unet = state.params["params"]["unet"]
+    leaf = None
+    for path, x in jax.tree_util.tree_leaves_with_path(unet):
+        pstr = "/".join(str(p) for p in path)
+        if "to_q" in pstr and "kernel" in pstr:
+            leaf = x
+            break
+    assert leaf is not None
+    assert "tp" in str(leaf.sharding.spec)
+
+    step_fn = compile_train_step(model, tx, mesh)
+    B = 8
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.tile(jnp.arange(4.0), 2),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    }
+    batch = shard_batch(mesh, batch)
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    loss_tp = float(metrics["loss"])
+    assert np.isfinite(loss_tp)
+
+    # same step on a dp-only mesh must give the same loss (same math)
+    mesh2 = create_mesh(MeshConfig(dp=8))
+    state2, tx2 = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                     image_size=32)
+    state2 = shard_train_state(state2, mesh2)
+    step2 = compile_train_step(model, tx2, mesh2)
+    batch2 = shard_batch(mesh2, {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.tile(jnp.arange(4.0), 2),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    })
+    _, metrics2 = step2(state2, batch2, jax.random.PRNGKey(3))
+    np.testing.assert_allclose(loss_tp, float(metrics2["loss"]),
+                               rtol=2e-4, atol=2e-5)
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import dataclasses
 
