@@ -77,13 +77,12 @@ def main() -> None:
     cond = jax.random.normal(rng, (BATCH, n_tok, 768), jnp.float32)
 
     def generate(cond, key):
-        # model.sample/decode_latents are cached jits taking params as args
-        lat = model.sample(
-            params, cond, key,
+        # ONE jitted program (DDIM scan + VAE decode), params as arguments
+        return model.generate(
+            params, vae_params, cond, key,
             image_size=IMAGE_SIZE, sampling_steps=STEPS,
             steer_scale=1.0, shared_noise=False,
         )
-        return model.decode_latents(vae_params, lat)
 
     checksum = jax.jit(lambda imgs: imgs.astype(jnp.float32).sum())
 

@@ -485,6 +485,52 @@ class DADD:
             cache[key] = jax.jit(partial(self._sample_impl, **impl_kwargs))
         return cache[key]
 
+    def generate(
+        self,
+        core_params,
+        vae_params,
+        cond: jnp.ndarray,
+        key: jax.Array,
+        image_size: int = 256,
+        sampling_steps: Optional[int] = None,
+        eta: float = 0.0,
+        steer_scale: float | jnp.ndarray = 0.0,
+        guidance_scale: float | jnp.ndarray = 1.0,
+        cond_uncond: Optional[jnp.ndarray] = None,
+        shared_noise: bool = True,
+        eta_key: Optional[jax.Array] = None,
+    ) -> jnp.ndarray:
+        """sample + VAE decode as ONE jitted program → images in [0,1].
+
+        One dispatch instead of two: the serving/bench path never syncs
+        between the DDIM scan and the decoder (the reference decodes in a
+        separate call, inference_pipeline_ip.py:473-486)."""
+        steps = sampling_steps or self.cfg.diffusion.sampling_steps
+        do_cfg = cond_uncond is not None
+        static = dict(image_size=image_size, steps=steps, eta=eta,
+                      shared_noise=shared_noise, do_cfg=do_cfg)
+        cache_key = ("generate",) + tuple(sorted(static.items()))
+        cache = getattr(self, "_sample_cache", None)
+        if cache is None:
+            cache = {}
+            self._sample_cache = cache
+        if cache_key not in cache:
+            def _gen(cp, vp, cond, uncond, k1, k2, steer, guid):
+                lat = self._sample_impl(cp, cond, uncond, k1, k2, steer,
+                                        guid, **static)
+                imgs = self.vae.apply(vp, lat / self.latent_scale,
+                                      method=self.vae.decode)
+                return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+            cache[cache_key] = jax.jit(_gen)
+        uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
+        return cache[cache_key](
+            core_params, vae_params, cond, uncond_arg, key,
+            eta_key if eta_key is not None else key,
+            jnp.asarray(steer_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
+
     def sample(
         self,
         core_params,

@@ -62,15 +62,15 @@ def _kernel_q8(q_ref, sq_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
     acc = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.int32
     )  # (BQ, S)
-    sq = sq_ref[0].reshape(-1, 1)  # (BQ, 1)
-    sk = sk_ref[0].reshape(1, -1)  # (1, S)
+    sq = sq_ref[0]  # (BQ, 1)
+    sk = sk_ref[0]  # (1, S)
     logits = acc.astype(jnp.float32) * (sq * scale) * sk
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if pv8:
         v = v_ref[0]  # (S, D) int8
-        sv = sv_ref[0].reshape(1, -1)  # (1, D)
+        sv = sv_ref[0]  # (1, D)
         pn = p / l
         pmax = jnp.max(pn, axis=-1, keepdims=True)
         ps = jnp.maximum(pmax, 1e-20) * (1.0 / 127.0)
@@ -99,28 +99,27 @@ def _spattn_q8_impl(q, k, v, scale, block_q, pv8, interpret):
     assert S % BQ == 0
     qq, sq = quant_rows(q)  # (BH,S,D) int8, (BH,S,1)
     kq, sk = quant_rows(k)
-    sq2 = sq.reshape(BH, S)
-    sk2 = sk.reshape(BH, S)
+    sk2 = sk.reshape(BH, 1, S)  # row vector per bh (Mosaic-legal block)
     if pv8:
         vf = v.astype(jnp.float32)
         vmax = jnp.max(jnp.abs(vf), axis=1, keepdims=True)  # (BH,1,D)
         sv = jnp.maximum(vmax, 1e-8) * (1.0 / 127.0)
         vq = jnp.round(vf / sv).astype(jnp.int8)
-        sv2 = sv.reshape(BH, D)
+        sv2 = sv
     else:
         vq = v
-        sv2 = jnp.ones((BH, D), jnp.float32)
+        sv2 = jnp.ones((BH, 1, D), jnp.float32)
 
     out = pl.pallas_call(
         functools.partial(_kernel_q8, scale=scale, pv8=pv8),
         grid=(BH, S // BQ),
         in_specs=[
             pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
-            pl.BlockSpec((1, BQ), lambda b, j: (b, j)),
+            pl.BlockSpec((1, BQ, 1), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, S), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, 1, S), lambda b, j: (b, 0, 0)),
             pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, D), lambda b, j: (b, 0)),
+            pl.BlockSpec((1, 1, D), lambda b, j: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
@@ -128,7 +127,7 @@ def _spattn_q8_impl(q, k, v, scale, block_q, pv8, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(qq, sq2, kq, sk2, vq, sv2)
+    )(qq, sq, kq, sk2, vq, sv2)
     return out
 
 

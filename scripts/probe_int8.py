@@ -1,11 +1,15 @@
 """Probe int8 MXU throughput vs bf16 on the attached chip.
 
-v5e spec: bf16 197 TFLOPS, int8 394 TOPS. Validates that XLA lowers
-int8×int8→int32 dot_general (and conv) onto the MXU at the doubled rate
-before we commit to a W8A8 inference path. Methodology per
-docs/perf_notes.md: reps chained through a jitted scan carry, dispatch
-overhead subtracted, interleaved A/B.
-"""
+v5e spec: bf16 197 TFLOPS, int8 394 TOPS. Measured (this script):
+int8 only pays for DEEP contractions — dot 4096³ 2.3×, K=1280 1.8×,
+K=512 1.2×, K=320 ~1.0×; conv3×3 2.0-2.5× at ≤32² (K=9·Cin ≥ 5760) but
+0.9× at 64²·320ch. This sets MIN_QUANT_K in psd_tpu/ops/quant.py.
+
+Methodology (docs/perf_notes.md): ops chained through a jitted scan carry
+(relay dispatch ≈ 35 ms dwarfs single calls), reps adapted so device work
+dominates overhead jitter, results data-depend on the chain so XLA cannot
+DCE them (int arithmetic with a provably-zero multiplier gets folded —
+first version of this script reported 3 exa-ops on a DCE'd conv)."""
 
 from __future__ import annotations
 
@@ -17,68 +21,63 @@ sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 import jax
 import jax.numpy as jnp
 
-from scripts.profile_step import timeit_op, dispatch_overhead
+from scripts.profile_step import _sync_time, dispatch_overhead
+
+
+def timeit_adaptive(fn, x, *rest, target_ms=60, max_reps=3000):
+    """Per-iteration time; fn must be carry-chaining (out ~ x)."""
+    probe = jax.eval_shape(fn, x, *rest)
+    assert probe.shape == x.shape and probe.dtype == x.dtype
+
+    def loop(reps):
+        def run(x, *rest):
+            def body(c, _):
+                return fn(c, *rest), None
+            out, _ = jax.lax.scan(body, x, None, length=reps)
+            return out
+        return jax.jit(run)
+
+    t50 = _sync_time(loop(50), x, *rest)
+    per = max((t50 - dispatch_overhead()) / 50, 1e-6)
+    reps = min(max(50, int(target_ms * 1e-3 / per)), max_reps)
+    t = _sync_time(loop(reps), x, *rest)
+    return max(t - dispatch_overhead(), 1e-9) / reps
 
 
 def probe_dot(m=4096, k=4096, n=4096):
-    ab = jnp.ones((m, k), jnp.bfloat16)
-    bb = jnp.ones((k, n), jnp.bfloat16)
-    ai = jnp.ones((m, k), jnp.int8)
-    bi = jnp.ones((k, n), jnp.int8)
+    xb = jax.random.normal(jax.random.PRNGKey(0), (m, k)).astype(jnp.bfloat16)
+    wb = (jax.random.normal(jax.random.PRNGKey(1), (k, n)) * (1.0 / k)).astype(
+        jnp.bfloat16
+    )
+    xi = jax.random.randint(jax.random.PRNGKey(0), (m, k), -127, 128, jnp.int8)
+    wi = jax.random.randint(jax.random.PRNGKey(1), (k, n), -127, 128, jnp.int8)
 
-    fb = lambda a, b: (
-        jnp.dot(a, b, preferred_element_type=jnp.float32) * (1.0 / k)
-    ).astype(jnp.bfloat16)
+    def fb(x, w):
+        return (jnp.dot(x, w, preferred_element_type=jnp.float32)).astype(x.dtype)
 
-    def fi(a, b):
+    def fi(x, w):
         acc = jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
+            x, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
         )
-        # rescale back to ones so the carry chain stays int8-representable
-        return (acc // k).astype(jnp.int8)
+        return (acc >> 12).astype(jnp.int8)
 
-    tb = timeit_op(fb, ab, bb, reps=100)
-    ti = timeit_op(fi, ai, bi, reps=100)
     fl = 2 * m * k * n
+    tb = timeit_adaptive(fb, xb, wb)
+    ti = timeit_adaptive(fi, xi, wi)
     print(
-        f"dot {m}x{k}x{n}: bf16 {tb*1e3:.2f} ms ({fl/tb/1e12:.0f} TFLOPS), "
-        f"int8 {ti*1e3:.2f} ms ({fl/ti/1e12:.0f} TOPS), ratio {tb/ti:.2f}x"
+        f"dot {m}x{k}x{n}: bf16 {tb*1e3:.3f} ms ({fl/tb/1e12:.0f} TF) | "
+        f"int8 {ti*1e3:.3f} ms ({fl/ti/1e12:.0f} TOPS) ratio {tb/ti:.2f}x"
     )
 
 
-def probe_narrow_k(m=8192, k=40, n=4096):
-    """QK^T-shaped: does int8 halve the padded-K pass cost too?"""
-    ab = jnp.ones((m, k), jnp.bfloat16)
-    bb = jnp.ones((k, n), jnp.bfloat16)
-    ai = jnp.ones((m, k), jnp.int8)
-    bi = jnp.ones((k, n), jnp.int8)
-    fb = lambda a, b: (
-        jnp.dot(a, b, preferred_element_type=jnp.float32) * (1.0 / k)
-    ).astype(jnp.bfloat16)[:, :k].astype(jnp.bfloat16) * 0 + a
-
-    def fb2(a, b):
-        out = jnp.dot(a, b, preferred_element_type=jnp.float32)
-        return a + (out.sum() * 0).astype(a.dtype)
-
-    def fi2(a, b):
-        out = jax.lax.dot_general(
-            a, b, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
-        )
-        return a + (out.sum() * 0).astype(a.dtype)
-
-    tb = timeit_op(fb2, ab, bb, reps=100)
-    ti = timeit_op(fi2, ai, bi, reps=100)
-    print(
-        f"narrowK dot {m}x{k}x{n}: bf16 {tb*1e3:.3f} ms, int8 {ti*1e3:.3f} ms, "
-        f"ratio {tb/ti:.2f}x"
+def probe_conv(h, cin, cout, b=8):
+    xb = jax.random.normal(jax.random.PRNGKey(0), (b, h, h, cin)).astype(jnp.bfloat16)
+    kb = (jax.random.normal(jax.random.PRNGKey(1), (3, 3, cin, cout)) * 0.02).astype(
+        jnp.bfloat16
     )
-
-
-def probe_conv(h=64, cin=320, cout=320, b=8):
-    xb = jnp.ones((b, h, h, cin), jnp.bfloat16)
-    kb = jnp.ones((3, 3, cin, cout), jnp.bfloat16)
-    xi = jnp.ones((b, h, h, cin), jnp.int8)
-    ki = jnp.ones((3, 3, cin, cout), jnp.int8)
+    xi = jax.random.randint(jax.random.PRNGKey(0), (b, h, h, cin), -127, 128, jnp.int8)
+    ki = jax.random.randint(jax.random.PRNGKey(1), (3, 3, cin, cout), -127, 128,
+                            jnp.int8)
     dn = jax.lax.conv_dimension_numbers(xb.shape, kb.shape, ("NHWC", "HWIO", "NHWC"))
 
     def fb(x, w):
@@ -86,31 +85,37 @@ def probe_conv(h=64, cin=320, cout=320, b=8):
             x, w, (1, 1), "SAME", dimension_numbers=dn,
             preferred_element_type=jnp.float32,
         )
-        return x + (out.sum() * 0).astype(x.dtype)
+        if cin == cout:
+            return out.astype(x.dtype) * 0.02
+        return x + out.mean(axis=-1, keepdims=True).astype(x.dtype) * 1e-6
 
     def fi(x, w):
         out = jax.lax.conv_general_dilated(
             x, w, (1, 1), "SAME", dimension_numbers=dn,
             preferred_element_type=jnp.int32,
         )
-        return x + (out.sum() * 0).astype(x.dtype)
+        if cin == cout:
+            return (out >> 12).astype(jnp.int8)
+        return x + (out >> 12).astype(jnp.int8).max(axis=-1, keepdims=True)
 
     fl = 2 * b * h * h * 9 * cin * cout
-    tb = timeit_op(fb, xb, kb, reps=50)
-    print(f"conv3x3 {h}x{h}x{cin}->{cout} B{b}: bf16 {tb*1e3:.2f} ms ({fl/tb/1e12:.0f} TFLOPS)", flush=True)
-    try:
-        ti = timeit_op(fi, xi, ki, reps=50)
-        print(f"  int8 {ti*1e3:.2f} ms ({fl/ti/1e12:.0f} TOPS), ratio {tb/ti:.2f}x")
-    except Exception as e:
-        print(f"  int8 conv failed: {type(e).__name__}: {str(e)[:200]}")
+    tb = timeit_adaptive(fb, xb, kb)
+    ti = timeit_adaptive(fi, xi, ki)
+    print(
+        f"conv3x3 {h}x{h} {cin}->{cout} B{b}: bf16 {tb*1e3:.3f} ms "
+        f"({fl/tb/1e12:.0f} TF) | int8 {ti*1e3:.3f} ms ({fl/ti/1e12:.0f} TOPS) "
+        f"ratio {tb/ti:.2f}x"
+    )
 
 
 def main():
     print(f"devices: {jax.devices()}")
     dispatch_overhead()
     probe_dot()
-    probe_narrow_k()
-    probe_conv()
+    probe_dot(32768, 1280, 1280)
+    probe_dot(32768, 512, 2048)
+    probe_dot(32768, 320, 2560)
+    probe_conv(64, 320, 320)
     probe_conv(32, 640, 640)
     probe_conv(16, 1280, 1280)
 

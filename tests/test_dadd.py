@@ -143,6 +143,8 @@ def test_dp_sharded_sampling_on_mesh(dadd_and_params):
         params, cond, jax.random.PRNGKey(5), image_size=32, sampling_steps=4,
         steer_scale=1.0, mesh=mesh,
     )
+    # atol covers CPU vectorization/reduction-order noise between the B=1-
+    # per-device and B=8 compilations (amplified over the DDIM steps)
     np.testing.assert_allclose(
-        np.asarray(lat_sharded), np.asarray(lat_single), rtol=2e-4, atol=2e-5
+        np.asarray(lat_sharded), np.asarray(lat_single), rtol=2e-4, atol=1e-4
     )

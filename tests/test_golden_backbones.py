@@ -1,0 +1,128 @@
+"""Golden activation parity: torch backbone mirrors → converters → flax.
+
+Closes the round-1 gap 'converter tests are shape-only for the
+parity-critical models': random-init torch models in eval mode produce the
+reference activations; the converted flax models must match them at fp32
+tolerance, proving both the key mapping AND the math (conv layout, BN
+statistics, pooling, flatten order)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+torch = pytest.importorskip("torch")
+
+from psd_tpu.convert.backbones import convert_resnet, convert_vgg16  # noqa: E402
+from psd_tpu.models.resnet import ResNet, ResNetConfig  # noqa: E402
+from psd_tpu.models.vgg import VGG16Features  # noqa: E402
+from tests.torch_ref.backbones import (  # noqa: E402
+    TorchVGG16,
+    torch_resnet18,
+    torch_resnet50,
+)
+
+
+def _rel(a, b):
+    a = np.asarray(a, np.float64)
+    b = np.asarray(b, np.float64)
+    return np.linalg.norm(a - b) / max(np.linalg.norm(b), 1e-12)
+
+
+def _sd(model):
+    return {k: v.detach().numpy() for k, v in model.state_dict().items()}
+
+
+def _nonzero_bn_stats(model):
+    # random running stats so a mean/var mix-up cannot pass silently
+    g = torch.Generator().manual_seed(7)
+    for m in model.modules():
+        if isinstance(m, torch.nn.BatchNorm2d):
+            m.running_mean.copy_(torch.randn(m.running_mean.shape, generator=g) * 0.1)
+            m.running_var.copy_(torch.rand(m.running_var.shape, generator=g) + 0.5)
+
+
+@pytest.mark.parametrize("maker,variant", [
+    (torch_resnet18, "resnet18"),
+    (torch_resnet50, "resnet50"),
+])
+def test_resnet_feature_parity(maker, variant):
+    torch.manual_seed(0)
+    tm = maker().eval()
+    _nonzero_bn_stats(tm)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = tm(x, features_only=True).numpy()
+
+    tree = convert_resnet(_sd(tm))
+    model = ResNet(ResNetConfig(variant=variant, head="features"))
+    out = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    assert _rel(out, ref) < 1e-4, _rel(out, ref)
+
+
+def test_resnet_logits_parity():
+    torch.manual_seed(1)
+    tm = torch_resnet18().eval()
+    _nonzero_bn_stats(tm)
+    x = torch.randn(2, 3, 64, 64)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+    tree = convert_resnet(_sd(tm), keep_fc=True)
+    model = ResNet(ResNetConfig(variant="resnet18", head="classify",
+                                num_classes=1000, dropout=0.0))
+    out = model.apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+        train=False,
+    )
+    assert _rel(out, ref) < 1e-4, _rel(out, ref)
+
+
+def test_vgg16_fc7_parity():
+    torch.manual_seed(2)
+    tm = TorchVGG16().eval()
+    # default torch init makes 13 stacked convs explode numerically; scale
+    # down so activations stay in a comparable range
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, (torch.nn.Conv2d, torch.nn.Linear)):
+                m.weight.mul_(0.3)
+    x = torch.randn(1, 3, 224, 224)
+    with torch.no_grad():
+        ref = tm.forward_fc7(x).numpy()
+
+    params = convert_vgg16(_sd(tm))
+    out = VGG16Features().apply(
+        params, jnp.asarray(x.numpy().transpose(0, 2, 3, 1))
+    )
+    assert out.shape == ref.shape
+    assert _rel(out, ref) < 1e-4, _rel(out, ref)
+
+
+def test_inception_pool3_parity():
+    from psd_tpu.convert.backbones import convert_inception_v3
+    from psd_tpu.models.inception import InceptionV3Features
+    from tests.torch_ref.backbones import TorchInceptionV3
+
+    torch.manual_seed(3)
+    tm = TorchInceptionV3().eval()
+    with torch.no_grad():
+        for m in tm.modules():
+            if isinstance(m, torch.nn.Conv2d):
+                m.weight.mul_(0.5)
+    _nonzero_bn_stats(tm)
+    x = torch.randn(1, 3, 299, 299)
+    with torch.no_grad():
+        ref = tm(x).numpy()
+
+    tree = convert_inception_v3(_sd(tm))
+    out = InceptionV3Features().apply(
+        {"params": tree["params"], "batch_stats": tree["batch_stats"]},
+        jnp.asarray(x.numpy().transpose(0, 2, 3, 1)),
+    )
+    assert out.shape == (1, 2048)
+    assert _rel(out, ref) < 1e-4, _rel(out, ref)
