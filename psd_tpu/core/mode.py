@@ -1,0 +1,34 @@
+"""Trace-time training/inference mode switch for kernel selection.
+
+Several Pallas kernels here are inference-optimized: their custom VJPs
+recompute the forward (spattn re-runs a full attention forward inside its
+backward; the fused LN→proj kernels back-prop through XLA reference math).
+Under gradient rematerialization that triples the forward work — measured
+52.4 → 43.2 img/s on the SD-scale train step when the inference kernels
+leaked into training.
+
+`training_mode()` is entered by the train step around loss tracing; kernel
+dispatch sites consult `is_training()` AT TRACE TIME and pick the
+fused-backward implementations (stock flash attention, plain XLA LN) for
+training while inference keeps the faster single-pass forward kernels.
+"""
+
+from __future__ import annotations
+
+import contextlib
+from contextvars import ContextVar
+
+_TRAINING: ContextVar[bool] = ContextVar("psd_tpu_training_mode", default=False)
+
+
+@contextlib.contextmanager
+def training_mode():
+    token = _TRAINING.set(True)
+    try:
+        yield
+    finally:
+        _TRAINING.reset(token)
+
+
+def is_training() -> bool:
+    return _TRAINING.get()

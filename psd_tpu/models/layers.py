@@ -141,8 +141,11 @@ class ResnetBlock2D(nn.Module):
         """int8 convs win ≥2× only at ≤32² spatial (large channel counts);
         at 64²/320ch the quant overhead outweighs the MXU gain (measured:
         scripts/probe_int8.py — 0.86× at 64²·320, 1.98× at 32²·640,
-        2.52× at 16²·1280)."""
-        return self.quant == "int8" and x.shape[1] <= 32 and x.shape[2] <= 32
+        2.52× at 16²·1280). Inference-only (round() has zero gradient)."""
+        from ..core.mode import is_training
+
+        return (self.quant == "int8" and x.shape[1] <= 32 and x.shape[2] <= 32
+                and not is_training())
 
     @nn.compact
     def __call__(self, x, temb=None):
@@ -302,11 +305,14 @@ class Attention(nn.Module):
                             param_dtype=self.param_dtype)(ctx_dim)
         wv, _ = DenseParams(inner_dim, use_bias=False, name="to_v",
                             param_dtype=self.param_dtype)(ctx_dim)
+        from ..core.mode import is_training
         from ..ops.quant import quant_worthwhile
 
         # int8 projections only where the contraction depth pays (K=C);
-        # otherwise keep the fused bf16 LN→proj Pallas path
-        use_q8 = self.quant == "int8" and quant_worthwhile(inner_dim)
+        # otherwise keep the fused bf16 LN→proj Pallas path. Inference-only:
+        # round() has zero gradient, so training always takes the bf16 path.
+        use_q8 = (self.quant == "int8" and quant_worthwhile(inner_dim)
+                  and not is_training())
 
         def dense(t, w, b=None):
             if use_q8:
@@ -501,6 +507,13 @@ class LayerNormParams(nn.Module):
 
 
 def _ln_geglu_fused_ok(x) -> bool:
+    from ..core.mode import is_training
+
+    if is_training():
+        # the fused LN kernels' VJPs re-derive through XLA reference math;
+        # under remat that adds a redundant fused-forward pass — training
+        # uses the plain XLA path end to end (core/mode.py)
+        return False
     M = x.shape[0] * x.shape[1]
     if M % 512 or x.shape[-1] % 64:
         return False
@@ -526,9 +539,10 @@ class GEGLUFeedForward(nn.Module):
     def __call__(self, x, ln_scale=None, ln_bias=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dim = x.shape[-1]
+        from ..core.mode import is_training
         from ..ops.quant import quant_worthwhile
 
-        use_q8 = self.quant == "int8"
+        use_q8 = self.quant == "int8" and not is_training()
         # net_0 contracts over dim, net_2 over 4·dim: quantize each only
         # where the depth pays (MIN_QUANT_K); a bf16-net_0 int8-net_2 mix
         # keeps the fused LN→GEGLU kernel for the shallow stage-0 width.
@@ -656,7 +670,9 @@ class Transformer2D(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         B, H, W, C = x.shape
         residual = x
-        use_q8 = self.quant == "int8"
+        from ..core.mode import is_training
+
+        use_q8 = self.quant == "int8" and not is_training()
         h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
 
         def conv1x1(t, name):

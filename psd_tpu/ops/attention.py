@@ -41,15 +41,16 @@ def dot_product_attention(
         (B, Sq, H, Dh), dtype of q.
     """
     if _BACKEND in ("pallas", "auto"):
+        from ..core.mode import is_training
         from . import flash, spattn
 
         try:
             on_tpu = jax.default_backend() == "tpu"
         except Exception:
             on_tpu = False
-        if on_tpu and q.shape[1] >= 512:
-            # single-pass kernel beats the generic flash kernel for the
-            # UNet's whole-row-in-VMEM sequence lengths (docs/perf_notes.md)
+        if on_tpu and q.shape[1] >= 512 and not is_training():
+            # single-pass kernel for inference (its VJP recomputes the
+            # forward — training uses the flash kernel's fused backward)
             out = spattn.spatial_attention(q, k, v, scale=scale)
             if out is not None:
                 return out

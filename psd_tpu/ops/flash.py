@@ -61,22 +61,26 @@ def flash_attention(
     kt = k.transpose(0, 2, 1, 3)
     vt = v.transpose(0, 2, 1, 3)
 
-    # 1024-blocks measured ~10% faster than 512 at the UNet's stage-0 shape
-    # (B8 S4096 D40: 3.83 vs 4.27 ms; scripts/bench_attn2.py, interleaved min)
+    # forward: 1024-blocks ~10% faster than 512 at the UNet's stage-0 shape
+    # (B8 S4096 D40: 3.83 vs 4.27 ms; scripts/bench_attn2.py, interleaved
+    # min). backward: keep 512 — the dkv/dq kernels carry more live VMEM
+    # per block and regressed at 1024 (round-2 train-step measurement).
     block_q = min(1024, Sq)
     block_k = min(1024, Sk)
+    bq_bwd = min(512, Sq)
+    bk_bwd = min(512, Sk)
     bs = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,
         block_k=block_k,
         block_b=1,
-        block_q_major_dkv=block_q,
-        block_k_major_dkv=block_k,
-        block_k_dkv=block_k,
-        block_q_dkv=block_q,
-        block_k_major_dq=block_k,
-        block_k_dq=block_k,
-        block_q_dq=block_q,
+        block_q_major_dkv=bq_bwd,
+        block_k_major_dkv=bk_bwd,
+        block_k_dkv=bk_bwd,
+        block_q_dkv=bq_bwd,
+        block_k_major_dq=bk_bwd,
+        block_k_dq=bk_bwd,
+        block_q_dq=bq_bwd,
     )
     out = pallas_flash(qt, kt, vt, causal=False, sm_scale=sm_scale, block_sizes=bs)
     return out.transpose(0, 2, 1, 3).astype(q.dtype)

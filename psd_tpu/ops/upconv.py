@@ -62,20 +62,22 @@ def upsample2x_conv3x3(
             pk = _phase_kernel(kernel.astype(dtype), a, b)
             pad_r = (1, 0) if a == 0 else (0, 1)
             pad_c = (1, 0) if b == 0 else (0, 1)
+            # no preferred_element_type: the conv transpose rule rejects the
+            # mixed-dtype cotangent it induces; TPU bf16 convs accumulate
+            # fp32 on the MXU regardless
             y = jax.lax.conv_general_dilated(
                 xd, pk, (1, 1), (pad_r, pad_c),
                 dimension_numbers=jax.lax.conv_dimension_numbers(
                     x.shape, pk.shape, dn
                 ),
-                preferred_element_type=jnp.float32,
             )
-            phases.append(y)  # (B, H, W, Co) fp32
+            phases.append(y)  # (B, H, W, Co) in compute dtype
 
     # interleave: out[2i+a, 2j+b] = phases[2a+b][i, j]
     y = jnp.stack(phases, axis=3).reshape(B, H, W, 2, 2, Co)
     y = y.transpose(0, 1, 3, 2, 4, 5).reshape(B, 2 * H, 2 * W, Co)
     if bias is not None:
-        y = y + bias.astype(jnp.float32)
+        y = (y.astype(jnp.float32) + bias.astype(jnp.float32))
     return y.astype(dtype)
 
 

@@ -56,6 +56,14 @@ def make_train_step(dadd: DADD, tx: optax.GradientTransformation,
     tcfg = dadd.cfg.training
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
+        from ..core.mode import training_mode
+
+        # trace-time flag: kernel dispatch picks fused-backward
+        # implementations for the fwd+bwd graph (core/mode.py)
+        with training_mode():
+            return _train_step_body(state, batch, rng)
+
+    def _train_step_body(state: TrainState, batch: Dict[str, jnp.ndarray], rng: jax.Array):
         rng = jax.random.fold_in(rng, state.step)
 
         def loss_fn(p):

@@ -135,6 +135,7 @@ def test_classifier_smoke_train(cls_dataset, tmp_path):
     assert len(list(out.glob("epoch*.npz"))) == 1
 
 
+@pytest.mark.slow
 def test_classifier_freeze_backbone_epochs(cls_dataset, tmp_path):
     """--freeze-backbone-epochs N: backbone params bit-identical during the
     freeze window, training after it (classification/model.py:381-393)."""

@@ -103,6 +103,7 @@ def test_vgg16_fc7_parity():
     assert _rel(out, ref) < 1e-4, _rel(out, ref)
 
 
+@pytest.mark.slow
 def test_inception_pool3_parity():
     from psd_tpu.convert.backbones import convert_inception_v3
     from psd_tpu.models.inception import InceptionV3Features

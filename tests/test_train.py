@@ -128,6 +128,7 @@ def test_fsdp_mesh_train_step():
     assert np.isfinite(float(metrics["loss"]))
 
 
+@pytest.mark.slow
 def test_tp_mesh_train_step():
     """dp=2 × tp=2 (Megatron-style head/row sharding of the transformer
     kernels via tp_param_spec): kernels actually sharded over tp, loss

@@ -37,3 +37,17 @@ def test_gradients_flow():
     g1 = jax.grad(lambda k: upsample2x_conv3x3(x, k).sum())(k)
     g2 = jax.grad(lambda k: upsample2x_conv3x3_reference(x, k).sum())(k)
     assert _rel(g1, g2) < 1e-5
+
+
+def test_bf16_module_gradients():
+    """bf16 params/compute path must be differentiable (the conv transpose
+    rule rejects mixed-dtype cotangents if an explicit fp32 accumulator
+    dtype is requested — regression for the train-step crash)."""
+    from psd_tpu.models.layers import Upsample2D
+
+    m = Upsample2D(8, dtype=jnp.bfloat16)
+    x = jnp.ones((1, 4, 4, 8), jnp.bfloat16)
+    p = m.init(jax.random.PRNGKey(0), x)
+    g = jax.grad(lambda p: m.apply(p, x).astype(jnp.float32).sum())(p)
+    leaves = jax.tree_util.tree_leaves(g)
+    assert all(np.isfinite(np.asarray(l, np.float32)).all() for l in leaves)
