@@ -395,8 +395,11 @@ class Attention(nn.Module):
             S = q.shape[1]
             use_fused = False
             if S >= 256 and S % 128 == 0:
+                from ..parallel.mesh import mesh_sharding_active
+
                 try:
-                    use_fused = jax.default_backend() == "tpu"
+                    use_fused = (jax.default_backend() == "tpu"
+                                 and not mesh_sharding_active())
                 except Exception:
                     use_fused = False
             if use_fused:
@@ -508,11 +511,16 @@ class LayerNormParams(nn.Module):
 
 def _ln_geglu_fused_ok(x) -> bool:
     from ..core.mode import is_training
+    from ..parallel.mesh import mesh_sharding_active
 
     if is_training():
         # the fused LN kernels' VJPs re-derive through XLA reference math;
         # under remat that adds a redundant fused-forward pass — training
         # uses the plain XLA path end to end (core/mode.py)
+        return False
+    if mesh_sharding_active():
+        # GSPMD cannot partition pallas_call — sharded meshes take the
+        # XLA paths (parallel/mesh.py::mesh_sharding_active)
         return False
     M = x.shape[0] * x.shape[1]
     if M % 512 or x.shape[-1] % 64:
@@ -540,6 +548,7 @@ class GEGLUFeedForward(nn.Module):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         dim = x.shape[-1]
         from ..core.mode import is_training
+        from ..ops.geglu import ln_geglu, ln_reference
         from ..ops.quant import quant_worthwhile
 
         use_q8 = self.quant == "int8" and not is_training()
@@ -560,60 +569,38 @@ class GEGLUFeedForward(nn.Module):
             param_dtype=self.param_dtype,
         )(dim)
         B, S, _ = x.shape
+
+        def normed():
+            if ln_scale is None:
+                return x.astype(self.dtype)
+            return ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
+
+        def geglu_of(proj):  # proj fp32 (..., 8·dim) → (..., 4·dim) dtype
+            hh, gate = jnp.split(proj, 2, axis=-1)
+            return (hh * gelu(gate)).astype(self.dtype)
+
         if q8_net0 or (use_q8 and ln_scale is None):
-            from ..ops.geglu import ln_reference
             from ..ops.quant import qdense
 
-            xn = (
-                ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
-                if ln_scale is not None
-                else x
-            )
-            proj = qdense(xn, w0, b0, out_dtype=jnp.float32)
-            h, gate = jnp.split(proj, 2, axis=-1)
-            h = (h * gelu(gate)).astype(self.dtype)
-            w2, b2 = DenseParams(dim, name="net_2",
-                                 param_dtype=self.param_dtype)(dim * self.mult)
-            return qdense(h, w2, b2, out_dtype=self.dtype)
-        if q8_net2:
-            from ..ops.geglu import ln_geglu, ln_reference
-            from ..ops.quant import qdense
-
-            if _ln_geglu_fused_ok(x):
-                h = ln_geglu(
-                    x.reshape(B * S, dim).astype(self.dtype),
-                    ln_scale, ln_bias, w0, b0,
-                ).reshape(B, S, dim * self.mult)
-            else:
-                xn = ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
-                proj = (
-                    jnp.dot(xn, w0.astype(self.dtype),
-                            preferred_element_type=jnp.float32)
-                    + b0.astype(jnp.float32)
-                )
-                hh, gate = jnp.split(proj, 2, axis=-1)
-                h = (hh * gelu(gate)).astype(self.dtype)
-            w2, b2 = DenseParams(dim, name="net_2",
-                                 param_dtype=self.param_dtype)(dim * self.mult)
-            return qdense(h, w2, b2, out_dtype=self.dtype)
-        if _ln_geglu_fused_ok(x):
-            from ..ops.geglu import ln_geglu
-
+            h = geglu_of(qdense(normed(), w0, b0, out_dtype=jnp.float32))
+        elif ln_scale is not None and _ln_geglu_fused_ok(x):
             h = ln_geglu(
                 x.reshape(B * S, dim).astype(self.dtype),
                 ln_scale, ln_bias, w0, b0,
             ).reshape(B, S, dim * self.mult)
         else:
-            from ..ops.geglu import ln_reference
-
-            xn = ln_reference(x.astype(self.dtype), ln_scale, ln_bias)
-            proj = (
-                jnp.dot(xn, w0.astype(self.dtype),
+            h = geglu_of(
+                jnp.dot(normed(), w0.astype(self.dtype),
                         preferred_element_type=jnp.float32)
                 + b0.astype(jnp.float32)
             )
-            h, gate = jnp.split(proj, 2, axis=-1)
-            h = (h * gelu(gate)).astype(self.dtype)
+
+        if q8_net2 or (use_q8 and ln_scale is None):
+            from ..ops.quant import qdense
+
+            w2, b2 = DenseParams(dim, name="net_2",
+                                 param_dtype=self.param_dtype)(dim * self.mult)
+            return qdense(h, w2, b2, out_dtype=self.dtype)
         return nn.Dense(dim, name="net_2", **kw)(h)
 
 

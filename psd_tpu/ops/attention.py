@@ -40,7 +40,9 @@ def dot_product_attention(
     Returns:
         (B, Sq, H, Dh), dtype of q.
     """
-    if _BACKEND in ("pallas", "auto"):
+    from ..parallel.mesh import mesh_sharding_active
+
+    if _BACKEND in ("pallas", "auto") and not mesh_sharding_active():
         from ..core.mode import is_training
         from . import flash, spattn
 

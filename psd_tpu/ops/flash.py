@@ -65,10 +65,19 @@ def flash_attention(
     # (B8 S4096 D40: 3.83 vs 4.27 ms; scripts/bench_attn2.py, interleaved
     # min). backward: keep 512 — the dkv/dq kernels carry more live VMEM
     # per block and regressed at 1024 (round-2 train-step measurement).
+    # The stock kernel asserts seq_len % block == 0 for every block except
+    # block_q, so pick the largest divisor (Sk=1536/2560/3584 would reject
+    # a blind 1024).
+    def _divisor_block(limit, seq):
+        for cand in (limit, 512, 256, 128):
+            if cand <= limit and seq % cand == 0:
+                return cand
+        return 128
+
     block_q = min(1024, Sq)
-    block_k = min(1024, Sk)
-    bq_bwd = min(512, Sq)
-    bk_bwd = min(512, Sk)
+    block_k = _divisor_block(1024, Sk)
+    bq_bwd = _divisor_block(512, Sq)
+    bk_bwd = _divisor_block(512, Sk)
     bs = BlockSizes(
         block_q=block_q,
         block_k_major=block_k,

@@ -17,11 +17,12 @@ Scheme (standard W8A8 dynamic quantization):
     land inside the contraction).
   * accumulation int32 on the MXU, dequant in the fp32 epilogue.
 
-Quality: quantization error is bounded by the per-row/channel amax; the
-golden gate (tests/test_quant.py + tests/test_golden_unet.py int8 case)
-asserts eps-prediction error stays within the bf16 noise floor and
-end-to-end samples match bf16 sampling to PSNR ≥ 35 dB before bench.py may
-enable the mode.
+Quality: quantization error is bounded by the per-row/channel amax.
+Coverage today (tests/test_quant.py): primitive-level error bands vs fp32
+references, and a tiny-UNet int8-vs-fp32 tracking test (cos > 0.999,
+rel < 5%). There is NO end-to-end SD-scale sample-quality gate yet — which
+is one reason the mode ships default-OFF and bench.py does not enable it
+(the other: measured end-to-end step time is neutral, docs/perf_notes.md).
 
 Capability note: the reference has no quantized path (fp16 autocast only,
 evaluation_pipeline.py:943); this is a TPU-native extension, default OFF.

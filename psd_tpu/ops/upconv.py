@@ -59,7 +59,9 @@ def upsample2x_conv3x3(
     phases = []
     for a in (0, 1):
         for b in (0, 1):
-            pk = _phase_kernel(kernel.astype(dtype), a, b)
+            # tap-sums in fp32 so K1+K2 carries no extra bf16 rounding the
+            # unfused conv (9 taps, one fp32 accumulator) would not have
+            pk = _phase_kernel(kernel.astype(jnp.float32), a, b).astype(dtype)
             pad_r = (1, 0) if a == 0 else (0, 1)
             pad_c = (1, 0) if b == 0 else (0, 1)
             # no preferred_element_type: the conv transpose rule rejects the

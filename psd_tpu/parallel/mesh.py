@@ -99,6 +99,20 @@ def batch_sharding_scope(mesh: Mesh):
         _BATCH_CTX.reset(token)
 
 
+def mesh_sharding_active() -> bool:
+    """True while tracing inside a batch_sharding_scope over a >1-device
+    mesh. Kernel dispatch sites consult this: GSPMD cannot partition a
+    Mosaic custom call (pallas_call), so under a sharded mesh the model
+    must take its XLA paths — which partition cleanly — instead of the
+    single-chip Pallas kernels (shard_map-wrapping the kernels is the
+    future composition path)."""
+    ctx = _BATCH_CTX.get()
+    if ctx is None:
+        return False
+    mesh = ctx[0]
+    return mesh.devices.size > 1
+
+
 def constrain_batch(x):
     """Re-assert batch sharding on the leading dim (no-op outside a scope)."""
     ctx = _BATCH_CTX.get()

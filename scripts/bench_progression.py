@@ -11,7 +11,11 @@ Prints one JSON line {"metric": "p50_latency_13step_mes_progression_s", ...}.
 from __future__ import annotations
 
 import json
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
 
 import jax
 import jax.numpy as jnp

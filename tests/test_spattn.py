@@ -65,3 +65,14 @@ def test_fallback_on_unsupported_shapes():
     q, k, v = _make(S=256)
     assert spatial_attention(q[:, :100], k[:, :100], v[:, :100]) is None
     assert spatial_attention(q, k[:, :128], v[:, :128]) is None
+
+
+def test_quant_modes_track_reference():
+    """int8 QK^T (and +PV) error bands: exact per-row dequant keeps errors
+    in the int8 rounding band (the quality gate behind quant= modes)."""
+    q, k, v = _make(S=256)
+    ref = spatial_attention(q, k, v, interpret=True)
+    qk8 = spatial_attention(q, k, v, quant="qk8", interpret=True)
+    full = spatial_attention(q, k, v, quant="int8", interpret=True)
+    assert _rel(qk8, ref) < 0.02
+    assert _rel(full, ref) < 0.04
