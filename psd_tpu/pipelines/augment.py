@@ -148,12 +148,12 @@ def main(argv=None):
                 core, tgts, srcs, clip_feats, zero_aoe=True
             )
         key = jax.random.fold_in(key, b)
-        lat = model.sample(
-            core, cond, key, image_size=image_size, sampling_steps=steps,
+        imgs = np.asarray(model.generate(
+            core, vae_params, cond, key,
+            image_size=image_size, sampling_steps=steps,
             steer_scale=args.steer_scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
-        )
-        imgs = np.asarray(model.decode_latents(vae_params, lat))[:n_real]
+        ))[:n_real]
         for img, (_, _, _, out_path) in zip(imgs, chunk):
             writer.submit(img, out_path)
         done += len(imgs)

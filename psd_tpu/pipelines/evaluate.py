@@ -313,12 +313,14 @@ def generate_all(
                 zero_aoe=True,
             )
         key = jax.random.fold_in(key, b)
-        lat = model.sample(
-            core, cond, key, image_size=image_size, sampling_steps=steps,
+        # sample + decode as ONE jitted program (DADD.generate): one
+        # dispatch per batch instead of two
+        imgs = np.asarray(model.generate(
+            core, vae_params, cond, key,
+            image_size=image_size, sampling_steps=steps,
             steer_scale=scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
-        )
-        imgs = np.asarray(model.decode_latents(vae_params, lat))[:n_real]
+        ))[:n_real]
         total += len(imgs)
         for img, tgt, (idx, _, _) in zip(imgs, tgts, chunk):
             fake_by_class[int(tgt)].append(img)

@@ -176,15 +176,14 @@ def main(argv=None) -> dict:
         )
 
     key = jax.random.PRNGKey(args.seed)
-    latents = model.sample(
-        core, cond, key,
+    images = np.asarray(model.generate(
+        core, vae_params, cond, key,
         image_size=image_size, sampling_steps=steps, eta=args.eta,
         steer_scale=args.steer_scale if use_rg else 0.0,
         guidance_scale=guidance, cond_uncond=uncond,
         shared_noise=True,
         eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
-    )
-    images = np.asarray(model.decode_latents(vae_params, latents))
+    ))
     jax.block_until_ready(images)
     dt = time.perf_counter() - t0
 
