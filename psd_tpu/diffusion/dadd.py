@@ -168,6 +168,18 @@ class DADDCore(nn.Module):
     def eps(self, latents, t, cond, delta_scale=0.0):
         return self.unet(latents, t, cond, delta_scale)
 
+    def eps_encode(self, latents, t, cond, delta_scale=0.0):
+        """UNet down+mid only → (h_mid, skips) for encoder-propagation
+        sampling (arXiv:2312.09608; models/unet.py phase='encode')."""
+        return self.unet(latents, t, cond, delta_scale, phase="encode")
+
+    def eps_decode(self, t, cond, cached, delta_scale=0.0):
+        """UNet up+out from cached encoder features, fresh t embedding."""
+        B = t.shape[0]
+        dummy = jnp.zeros((B, 1, 1, self.cfg.unet.in_channels), jnp.float32)
+        return self.unet(dummy, t, cond, delta_scale, phase="decode",
+                         cached=cached)
+
     def __call__(self, latents, t, labels, clip_feats=None, delta_scale=0.0):
         cond = self.prepare_conditioning(labels, clip_feats)
         return self.unet(latents, t, cond, delta_scale)
@@ -441,6 +453,7 @@ class DADD:
         eta: float,
         shared_noise: bool,
         do_cfg: bool,
+        encoder_stride: int = 1,
     ) -> jnp.ndarray:
         B = cond.shape[0]
         lat = image_size // self.spatial_factor
@@ -459,12 +472,34 @@ class DADD:
         eps_fn = cfg_eps_fn(
             raw_eps, cond, cond_uncond if do_cfg else None, guidance_scale
         )
+        encode_fn = decode_fn = None
+        if encoder_stride > 1:
+            if do_cfg:
+                raise ValueError(
+                    "encoder propagation is not supported with dual-pass CFG"
+                )
+
+            def encode_fn(x, t, i):
+                return self.core.apply(
+                    core_params, x, t, cond, steer_scale,
+                    method=self.core.eps_encode,
+                )
+
+            def decode_fn(t, i, cache):
+                return self.core.apply(
+                    core_params, t, cond, cache, steer_scale,
+                    method=self.core.eps_decode,
+                )
+
         return ddim_sample(
             eps_fn,
             x0,
             self.schedule,
-            SamplerConfig(sampling_steps=steps, eta=eta),
+            SamplerConfig(sampling_steps=steps, eta=eta,
+                          encoder_stride=encoder_stride),
             key=eta_key if eta > 0 else None,
+            encode_fn=encode_fn,
+            decode_fn=decode_fn,
         )
 
     def _get_jitted_sample(self, **static):
@@ -499,6 +534,7 @@ class DADD:
         cond_uncond: Optional[jnp.ndarray] = None,
         shared_noise: bool = True,
         eta_key: Optional[jax.Array] = None,
+        encoder_stride: int = 1,
     ) -> jnp.ndarray:
         """sample + VAE decode as ONE jitted program → images in [0,1].
 
@@ -508,7 +544,8 @@ class DADD:
         steps = sampling_steps or self.cfg.diffusion.sampling_steps
         do_cfg = cond_uncond is not None
         static = dict(image_size=image_size, steps=steps, eta=eta,
-                      shared_noise=shared_noise, do_cfg=do_cfg)
+                      shared_noise=shared_noise, do_cfg=do_cfg,
+                      encoder_stride=encoder_stride)
         cache_key = ("generate",) + tuple(sorted(static.items()))
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
@@ -545,6 +582,7 @@ class DADD:
         shared_noise: bool = True,
         eta_key: Optional[jax.Array] = None,
         mesh=None,
+        encoder_stride: int = 1,
     ) -> jnp.ndarray:
         """DDIM sampling; returns scaled latents (B, h, w, 4).
 
@@ -565,6 +603,7 @@ class DADD:
             eta=eta,
             shared_noise=shared_noise,
             do_cfg=do_cfg,
+            encoder_stride=encoder_stride,
             dp_sharded=mesh is not None,
         )
         uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)

@@ -35,6 +35,12 @@ class SamplerConfig:
     sampling_steps: int = 50
     eta: float = 0.0
     x0_clip: float = 4.0
+    # encoder propagation (Faster Diffusion, arXiv:2312.09608): re-run the
+    # UNet encoder (down+mid) only every `encoder_stride`-th step and feed
+    # the cached features to decoder-only steps. 1 = exact reference math;
+    # >1 is an approximation (consecutive-step encoder features are nearly
+    # identical) that drops ~40% of UNet FLOPs at stride 2. Opt-in.
+    encoder_stride: int = 1
 
 
 def ddim_sample(
@@ -43,6 +49,8 @@ def ddim_sample(
     schedule: NoiseSchedule,
     cfg: SamplerConfig,
     key: Optional[jax.Array] = None,
+    encode_fn=None,  # (x, t, i) -> cache pytree; required for stride > 1
+    decode_fn=None,  # (t, i, cache) -> eps
 ) -> jnp.ndarray:
     """Run DDIM sampling; state stays fp32 regardless of model compute dtype.
 
@@ -52,6 +60,9 @@ def ddim_sample(
         schedule: training noise schedule.
         cfg: sampler settings.
         key: PRNG key; required when cfg.eta > 0.
+        encode_fn/decode_fn: UNet encoder/decoder split, used when
+            cfg.encoder_stride > 1 (key steps run encode+decode — exactly
+            the full forward; other steps run decode on cached features).
     """
     steps = cfg.sampling_steps
     ts = ddim_timesteps(schedule.num_train_timesteps, steps)  # host numpy, static
@@ -70,11 +81,25 @@ def ddim_sample(
     )
 
     batch = x_init.shape[0]
+    stride = cfg.encoder_stride
+    use_prop = stride > 1
+    if use_prop and (encode_fn is None or decode_fn is None):
+        raise ValueError("encoder_stride > 1 requires encode_fn/decode_fn")
 
-    def step(x, scan_in):
+    def step(carry, scan_in):
+        x, cache = carry
         i, t, t_prev, k = scan_in
         t_b = jnp.full((batch,), t, dtype=jnp.int32)
-        eps = eps_fn(x, t_b, i).astype(jnp.float32)
+        if use_prop:
+            cache = jax.lax.cond(
+                i % stride == 0,
+                lambda args: encode_fn(*args[:2], i),
+                lambda args: args[2],
+                (x, t_b, cache),
+            )
+            eps = decode_fn(t_b, i, cache).astype(jnp.float32)
+        else:
+            eps = eps_fn(x, t_b, i).astype(jnp.float32)
 
         a_t = acp[t]
         sqrt_a_t = jnp.sqrt(a_t)
@@ -99,10 +124,21 @@ def ddim_sample(
 
         is_last = i == steps - 1
         x_out = jnp.where(is_last, x0, x_next)
-        return x_out, None
+        return (x_out, cache), None
 
     idx = jnp.arange(steps, dtype=jnp.int32)
-    x_final, _ = jax.lax.scan(step, x_init.astype(jnp.float32), (idx, t_arr, t_prev_arr, keys))
+    x0f = x_init.astype(jnp.float32)
+    if use_prop:
+        t0 = jnp.full((batch,), int(ts[0]), dtype=jnp.int32)
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype),
+            jax.eval_shape(encode_fn, x0f, t0, jnp.int32(0)),
+        )
+    else:
+        cache0 = jnp.zeros((), jnp.float32)  # placeholder carry leaf
+    (x_final, _), _ = jax.lax.scan(
+        step, (x0f, cache0), (idx, t_arr, t_prev_arr, keys)
+    )
     return x_final
 
 

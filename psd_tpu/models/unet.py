@@ -107,6 +107,18 @@ class UNetConfig:
 
 
 class UNet2DCondition(nn.Module):
+    """SD-class conditional UNet.
+
+    `phase` splits the forward for encoder-propagation sampling (Faster
+    Diffusion, arXiv:2312.09608 — down+mid features change little between
+    adjacent timesteps, so cached ("propagated") encoder features can feed
+    decoder-only steps):
+      "full"   — ordinary forward → eps.
+      "encode" — down+mid only → (h_mid, skips tuple).
+      "decode" — up+out from `cached` (h_mid, skips) with a FRESH timestep
+                 embedding → eps. Never touches `sample`.
+    """
+
     config: UNetConfig
 
     @nn.compact
@@ -116,7 +128,9 @@ class UNet2DCondition(nn.Module):
         timesteps: jnp.ndarray,  # (B,) int or float
         encoder_hidden_states: jnp.ndarray,  # (B, N, cross_attention_dim)
         delta_scale: Optional[jnp.ndarray] = None,  # traced scalar, split3 only
-    ) -> jnp.ndarray:
+        phase: str = "full",
+        cached=None,  # (h_mid, skips) for phase="decode"
+    ):
         cfg = self.config
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         ch0 = cfg.block_out_channels[0]
@@ -135,49 +149,57 @@ class UNet2DCondition(nn.Module):
         )
 
         ctx = encoder_hidden_states.astype(cfg.dtype)
-        h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", **kw)(
-            sample.astype(cfg.dtype)
-        )
-
-        # --- down path ---
-        skips = [h]
         n_blocks = len(cfg.block_out_channels)
-        for i, out_ch in enumerate(cfg.block_out_channels):
-            has_attn = cfg.has_cross_attn[i]
-            mode = cfg.attn_mode_for("down", i)
-            for j in range(cfg.layers_per_block):
-                h = ResBlock(
-                    out_ch, name=f"down_blocks_{i}_resnets_{j}",
-                    quant=cfg.quant, **kw
-                )(h, temb)
-                if has_attn:
-                    h = AttnBlock(
-                        cfg.num_heads,
-                        depth=cfg.transformer_depth,
-                        mode=mode,
-                        quant=cfg.quant,
-                        name=f"down_blocks_{i}_attentions_{j}",
-                        **kw,
-                    )(h, ctx, delta_scale)
-                skips.append(h)
-            if i < n_blocks - 1:
-                h = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(h)
-                skips.append(h)
+        if phase == "decode":
+            assert cached is not None
+            h, skips_in = cached
+            h = h.astype(cfg.dtype)
+            skips = [s.astype(cfg.dtype) for s in skips_in]
+        else:
+            h = nn.Conv(ch0, (3, 3), padding=1, name="conv_in", **kw)(
+                sample.astype(cfg.dtype)
+            )
 
-        # --- mid ---
-        mid_ch = cfg.block_out_channels[-1]
-        h = ResBlock(mid_ch, name="mid_block_resnets_0", quant=cfg.quant,
-                     **kw)(h, temb)
-        h = AttnBlock(
-            cfg.num_heads,
-            depth=cfg.transformer_depth,
-            mode=cfg.attn_mode_for("mid"),
-            quant=cfg.quant,
-            name="mid_block_attentions_0",
-            **kw,
-        )(h, ctx, delta_scale)
-        h = ResBlock(mid_ch, name="mid_block_resnets_1", quant=cfg.quant,
-                     **kw)(h, temb)
+            # --- down path ---
+            skips = [h]
+            for i, out_ch in enumerate(cfg.block_out_channels):
+                has_attn = cfg.has_cross_attn[i]
+                mode = cfg.attn_mode_for("down", i)
+                for j in range(cfg.layers_per_block):
+                    h = ResBlock(
+                        out_ch, name=f"down_blocks_{i}_resnets_{j}",
+                        quant=cfg.quant, **kw
+                    )(h, temb)
+                    if has_attn:
+                        h = AttnBlock(
+                            cfg.num_heads,
+                            depth=cfg.transformer_depth,
+                            mode=mode,
+                            quant=cfg.quant,
+                            name=f"down_blocks_{i}_attentions_{j}",
+                            **kw,
+                        )(h, ctx, delta_scale)
+                    skips.append(h)
+                if i < n_blocks - 1:
+                    h = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(h)
+                    skips.append(h)
+
+            # --- mid ---
+            mid_ch = cfg.block_out_channels[-1]
+            h = ResBlock(mid_ch, name="mid_block_resnets_0", quant=cfg.quant,
+                         **kw)(h, temb)
+            h = AttnBlock(
+                cfg.num_heads,
+                depth=cfg.transformer_depth,
+                mode=cfg.attn_mode_for("mid"),
+                quant=cfg.quant,
+                name="mid_block_attentions_0",
+                **kw,
+            )(h, ctx, delta_scale)
+            h = ResBlock(mid_ch, name="mid_block_resnets_1", quant=cfg.quant,
+                         **kw)(h, temb)
+            if phase == "encode":
+                return h, tuple(skips)
 
         # --- up path ---
         rev_channels = tuple(reversed(cfg.block_out_channels))

@@ -56,6 +56,11 @@ def build_argparser() -> argparse.ArgumentParser:
                         "selection is JAX-platform-driven here")
     p.add_argument("--output-dir", type=str, default="outputs/progression")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    p.add_argument("--encoder-stride", type=int, default=1,
+                   help="encoder propagation: re-run the UNet encoder every "
+                        "N-th DDIM step only (1 = exact; >1 trades ~40%% of "
+                        "UNet FLOPs for a small approximation, "
+                        "arXiv:2312.09608)")
     return p
 
 
@@ -183,6 +188,7 @@ def main(argv=None) -> dict:
         guidance_scale=guidance, cond_uncond=uncond,
         shared_noise=True,
         eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
+        encoder_stride=args.encoder_stride,
     ))
     jax.block_until_ready(images)
     dt = time.perf_counter() - t0
