@@ -1,7 +1,8 @@
 # Convenience targets (counterpart of the reference Makefile)
 .PHONY: test test-all lint format train train-ip inference evaluate compare-ip bench
 
-# fast tier (<3 min): unit + light integration; CI / full coverage: test-all
+# fast tier (~8 min on 1 CPU): unit + light integration + tiny goldens;
+# full coverage incl. SD-scale goldens / e2e pipelines: test-all (~36 min)
 test:
 	python -m pytest tests/ -x -q -m "not slow"
 
