@@ -282,13 +282,19 @@ class DADD:
     # Each is a cached jit with params as ARGUMENTS (never closures — a
     # closed-over param tree becomes HLO constants and wrecks compile time).
     def _jit(self, name, fn):
+        from ..core.mode import is_training
+
+        # is_training() is consulted at TRACE time by kernel dispatch sites
+        # (core/mode.py) — it must be part of the cache key, or a function
+        # traced in one mode silently keeps the other mode's kernel set.
+        key = (name, is_training())
         cache = getattr(self, "_fn_cache", None)
         if cache is None:
             cache = {}
             self._fn_cache = cache
-        if name not in cache:
-            cache[name] = jax.jit(fn)
-        return cache[name]
+        if key not in cache:
+            cache[key] = jax.jit(fn)
+        return cache[key]
 
     def encode_image_clip(self, clip_params, clip_images):
         """CLIP-preprocessed (B,224,224,3) → feats for the projection."""
@@ -508,7 +514,9 @@ class DADD:
         Params/conditioning enter as jit ARGUMENTS — closing over the 859M-
         param tree would embed it as HLO constants and blow up compile time.
         """
-        key = tuple(sorted(static.items()))
+        from ..core.mode import is_training
+
+        key = tuple(sorted(static.items())) + (is_training(),)
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
             cache = {}
@@ -546,7 +554,9 @@ class DADD:
         static = dict(image_size=image_size, steps=steps, eta=eta,
                       shared_noise=shared_noise, do_cfg=do_cfg,
                       encoder_stride=encoder_stride)
-        cache_key = ("generate",) + tuple(sorted(static.items()))
+        from ..core.mode import is_training
+
+        cache_key = ("generate",) + tuple(sorted(static.items())) + (is_training(),)
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
             cache = {}
@@ -563,7 +573,8 @@ class DADD:
         uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
         return cache[cache_key](
             core_params, vae_params, cond, uncond_arg, key,
-            eta_key if eta_key is not None else key,
+            # never reuse the init-noise key for the eta-noise stream
+            eta_key if eta_key is not None else jax.random.fold_in(key, 1),
             jnp.asarray(steer_scale, jnp.float32),
             jnp.asarray(guidance_scale, jnp.float32),
         )
@@ -628,7 +639,7 @@ class DADD:
                 cond,
                 uncond_arg,
                 key,
-                eta_key if eta_key is not None else key,
+                eta_key if eta_key is not None else jax.random.fold_in(key, 1),
                 jnp.asarray(steer_scale, jnp.float32),
                 jnp.asarray(guidance_scale, jnp.float32),
             )

@@ -60,7 +60,10 @@ def build_argparser() -> argparse.ArgumentParser:
                    help="encoder propagation: re-run the UNet encoder every "
                         "N-th DDIM step only (1 = exact; >1 trades ~40%% of "
                         "UNet FLOPs for a small approximation, "
-                        "arXiv:2312.09608)")
+                        "arXiv:2312.09608). Incompatible with dual-pass CFG "
+                        "(baseline mode with --guidance-scale != 1); see "
+                        "scripts/check_stride_quality.py for the measured "
+                        "quality-vs-stride table")
     return p
 
 
@@ -163,6 +166,13 @@ def main(argv=None) -> dict:
     use_rg = model.core_cfg.use_routing_gates
     guidance = 1.0 if use_rg else args.guidance_scale  # RG mode forces 1.0
     do_cfg = (not use_rg) and guidance != 1.0
+    if args.encoder_stride > 1 and do_cfg:
+        raise SystemExit(
+            "--encoder-stride > 1 is incompatible with dual-pass CFG "
+            f"(baseline mode, --guidance-scale {args.guidance_scale}): the "
+            "cached encoder features are conditioning-dependent. Use "
+            "--guidance-scale 1 or a routing-gates checkpoint."
+        )
 
     t0 = time.perf_counter()
     clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_img))

@@ -1,5 +1,7 @@
 """Classification metric battery + classifier pipeline smoke tests."""
 
+from pathlib import Path
+
 import numpy as np
 import pytest
 from PIL import Image
@@ -212,3 +214,78 @@ def test_regressor_smoke_train(cls_dataset, tmp_path):
         "--output-dir", str(tmp_path / "reg"),
     ])
     assert "rmse" in hist[0] and "qwk" in hist[0]
+
+
+def test_classifier_yaml_config(cls_dataset, tmp_path):
+    """--config YAML (reference schema) fills args; CLI flags override;
+    the regression config's val/rmse monitor routes to the regress task
+    (src/classification/train.py:100-120, configs/train_classifier*.yaml)."""
+    import yaml
+
+    from psd_tpu.pipelines.classify import apply_yaml_config, build_argparser
+
+    cfg_path = tmp_path / "cls.yaml"
+    cfg = {
+        "model": {"name": "resnet34", "num_classes": 4, "dropout": 0.5,
+                  "freeze_backbone_epochs": 2},
+        "dataset": {"data_root": str(cls_dataset), "image_size": 48},
+        "training": {"batch_size": 16, "max_epochs": 7,
+                     "learning_rate": 3e-4, "optimizer": "sgd",
+                     "loss_type": "focal", "label_smoothing": 0.1},
+        "logging": {"save_top_k": 2, "monitor_metric": "val/qwk"},
+        "early_stopping": {"patience": 5},
+        "seed": 7,
+    }
+    cfg_path.write_text(yaml.safe_dump(cfg))
+
+    argv = ["--config", str(cfg_path), "--epochs", "3"]  # CLI overrides yaml
+    args = build_argparser().parse_args(argv)
+    args = apply_yaml_config(args, argv)
+    assert args.backbone == "resnet34"
+    assert args.data_dir == str(cls_dataset)
+    assert args.image_size == 48
+    assert args.batch_size == 16
+    assert args.epochs == 3  # explicit CLI flag wins over max_epochs: 7
+    assert args.lr == 3e-4
+    assert args.optimizer == "sgd"
+    assert args.loss == "focal"
+    assert args.dropout == 0.5
+    assert args.freeze_backbone_epochs == 2
+    assert args.save_top_k == 2
+    assert args.early_stop_patience == 5
+    assert args.seed == 7
+    assert args.task == "classify"
+
+    cfg["logging"]["monitor_metric"] = "val/rmse"
+    cfg_path.write_text(yaml.safe_dump(cfg))
+    argv = ["--config", str(cfg_path)]
+    args = apply_yaml_config(build_argparser().parse_args(argv), argv)
+    assert args.task == "regress"
+
+    # the committed reference-schema configs parse through the same path
+    for name in ("train_classifier.yaml", "train_classifier_regression.yaml"):
+        committed = Path(__file__).resolve().parent.parent / "configs" / name
+        argv = ["--config", str(committed)]
+        args = apply_yaml_config(build_argparser().parse_args(argv), argv)
+        assert args.num_classes == 4
+        assert args.task == ("regress" if "regression" in name else "classify")
+
+
+def test_classifier_yaml_config_e2e(cls_dataset, tmp_path):
+    """End-to-end: classify.main driven purely by --config (+ tiny
+    overrides) runs the smoke dataset."""
+    import yaml
+
+    from psd_tpu.pipelines.classify import main
+
+    cfg_path = tmp_path / "cls.yaml"
+    cfg_path.write_text(yaml.safe_dump({
+        "model": {"name": "resnet18", "num_classes": 4},
+        "dataset": {"data_root": str(cls_dataset), "image_size": 32},
+        "training": {"batch_size": 8, "max_epochs": 1},
+        "logging": {"save_top_k": 1},
+        "checkpoint": {"dirpath": str(tmp_path / "out")},
+    }))
+    hist = main(["--config", str(cfg_path), "--max-steps-per-epoch", "2"])
+    assert len(hist) == 1 and "qwk" in hist[0]
+    assert (tmp_path / "out" / "best.npz").exists()
