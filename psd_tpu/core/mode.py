@@ -32,3 +32,26 @@ def training_mode():
 
 def is_training() -> bool:
     return _TRAINING.get()
+
+
+def kernels_forced() -> bool:
+    """True when PSD_TPU_FORCE_KERNELS=interpret: kernel dispatch gates
+    treat the backend as TPU-capable and the Pallas kernels run in
+    interpreter mode. Lets CPU tests (and the virtual-mesh dryrun) exercise
+    the REAL kernel dispatch paths — including their shard_map mesh
+    composition — without TPU hardware."""
+    import os
+
+    return os.environ.get("PSD_TPU_FORCE_KERNELS") == "interpret"
+
+
+def kernel_backend_ok() -> bool:
+    """TPU backend, or forced-interpret mode (kernels_forced)."""
+    if kernels_forced():
+        return True
+    try:
+        import jax
+
+        return jax.default_backend() == "tpu"
+    except Exception:
+        return False

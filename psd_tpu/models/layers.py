@@ -112,10 +112,13 @@ def _fused_resblock_ok(x) -> bool:
     if C % 128 != 0:
         # Mosaic DMA lane constraint: channel slices must be ×128
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from ..core.mode import kernel_backend_ok
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    if info is not None and B % info[2]:
+        return False  # batch must split evenly for the shard_map'd kernel
+    return kernel_backend_ok()
 
 
 class ResnetBlock2D(nn.Module):
@@ -163,12 +166,12 @@ class ResnetBlock2D(nn.Module):
             )
 
         if _fused_resblock_ok(x):
-            from ..ops.fused_resblock import fused_gn_silu_conv3x3
+            from ..ops.fused_resblock import fused_gn_silu_conv3x3_sharded
 
             x = x.astype(self.dtype)
             k1, b1 = conv1(x, apply=False)
             w1, bb1 = norm1(x, fold_only=True)
-            h = fused_gn_silu_conv3x3(x, w1, bb1, k1, b1, None)
+            h = fused_gn_silu_conv3x3_sharded(x, w1, bb1, k1, b1, None)
             k2, b2 = conv2(h, apply=False)
             w2, bb2 = norm2(h, fold_only=True, shift=emb)
             if in_ch != self.out_channels:
@@ -176,7 +179,7 @@ class ResnetBlock2D(nn.Module):
                                    name="conv_shortcut", **kw)(x)
             else:
                 shortcut = x
-            return fused_gn_silu_conv3x3(h, w2, bb2, k2, b2, shortcut)
+            return fused_gn_silu_conv3x3_sharded(h, w2, bb2, k2, b2, shortcut)
 
         if self._q_conv_ok(x):
             from ..ops.quant import qconv3x3
@@ -346,13 +349,13 @@ class Attention(nn.Module):
         # only model caller, BasicTransformerBlock, passes its LN params);
         # ln_scale=None (direct/unit-test calls) skips normalization but runs
         # the SAME dense()/quant projection logic — no divergent legacy path.
-        from ..ops.geglu import ln_reference, ln_proj
+        from ..ops.geglu import ln_reference, ln_proj_sharded
 
         ws = (wq,) if is_cross else (wq, wk, wv)
         if ln_scale is None:
             outs = [dense(x.astype(self.dtype), w) for w in ws]
         elif not use_q8 and _ln_geglu_fused_ok(x):
-            outs = ln_proj(
+            outs = ln_proj_sharded(
                 x.reshape(B * S, inner_dim).astype(self.dtype),
                 ln_scale, ln_bias, ws,
             )
@@ -394,24 +397,23 @@ class Attention(nn.Module):
             S = q.shape[1]
             use_fused = False
             if S >= 256 and S % 128 == 0:
-                from ..parallel.mesh import mesh_sharding_active
+                from ..core.mode import kernel_backend_ok
 
-                try:
-                    use_fused = (jax.default_backend() == "tpu"
-                                 and not mesh_sharding_active())
-                except Exception:
-                    use_fused = False
+                use_fused = kernel_backend_ok()
+            z = None
             if use_fused:
-                from ..ops.split3 import split3_attention
+                from ..ops.split3 import split3_attention_sharded
 
                 # whole-seq q blocks: the KV banks are 16 tokens, so VMEM is
                 # cheap and per-invocation overhead dominated at small blocks
-                # (0.37 ms/site at block 512 vs a ~0.05 ms FLOP floor)
-                z = split3_attention(
+                # (0.37 ms/site at block 512 vs a ~0.05 ms FLOP floor).
+                # Under an active mesh the kernel shard_maps itself over the
+                # batch axes (None return → XLA fallback below).
+                z = split3_attention_sharded(
                     q, *banks, dscale,
                     mode.anat_gate, mode.dis_gate, None, min(4096, S),
                 )
-            else:
+            if z is None:
                 z_anat = dot_product_attention(q, banks[0], banks[1])
                 z_dis = dot_product_attention(q, banks[2], banks[3])
                 z_delta = dot_product_attention(q, banks[4], banks[5])
@@ -510,24 +512,27 @@ class LayerNormParams(nn.Module):
 
 def _ln_geglu_fused_ok(x) -> bool:
     from ..core.mode import is_training
-    from ..parallel.mesh import mesh_sharding_active
+    from ..parallel.mesh import kernel_batch_axes
 
     if is_training():
         # the fused LN kernels' VJPs re-derive through XLA reference math;
         # under remat that adds a redundant fused-forward pass — training
         # uses the plain XLA path end to end (core/mode.py)
         return False
-    if mesh_sharding_active():
-        # GSPMD cannot partition pallas_call — sharded meshes take the
-        # XLA paths (parallel/mesh.py::mesh_sharding_active)
-        return False
     M = x.shape[0] * x.shape[1]
+    info = kernel_batch_axes()
+    if info is not None:
+        # kernels shard_map over the batch axes (ops/geglu.py *_sharded):
+        # the per-shard row count must stay block-aligned
+        n = info[2]
+        if x.shape[0] % n:
+            return False
+        M //= n
     if M % 512 or x.shape[-1] % 64:
         return False
-    try:
-        return jax.default_backend() == "tpu"
-    except Exception:
-        return False
+    from ..core.mode import kernel_backend_ok
+
+    return kernel_backend_ok()
 
 
 class GEGLUFeedForward(nn.Module):
@@ -583,7 +588,9 @@ class GEGLUFeedForward(nn.Module):
 
             h = geglu_of(qdense(normed(), w0, b0, out_dtype=jnp.float32))
         elif ln_scale is not None and _ln_geglu_fused_ok(x):
-            h = ln_geglu(
+            from ..ops.geglu import ln_geglu_sharded
+
+            h = ln_geglu_sharded(
                 x.reshape(B * S, dim).astype(self.dtype),
                 ln_scale, ln_bias, w0, b0,
             ).reshape(B, S, dim * self.mult)

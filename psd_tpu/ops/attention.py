@@ -40,16 +40,14 @@ def dot_product_attention(
     Returns:
         (B, Sq, H, Dh), dtype of q.
     """
-    from ..parallel.mesh import mesh_sharding_active
-
-    if _BACKEND in ("pallas", "auto") and not mesh_sharding_active():
-        from ..core.mode import is_training
+    # under an active >1-device mesh the kernels shard_map themselves over
+    # the batch axes (ops/{spattn,flash}.py) and return None when the local
+    # batch can't be formed — the XLA einsum below partitions via GSPMD
+    if _BACKEND in ("pallas", "auto"):
+        from ..core.mode import is_training, kernel_backend_ok
         from . import flash, spattn
 
-        try:
-            on_tpu = jax.default_backend() == "tpu"
-        except Exception:
-            on_tpu = False
+        on_tpu = kernel_backend_ok()
         if on_tpu and q.shape[1] >= 512 and not is_training():
             # single-pass kernel for inference (its VJP recomputes the
             # forward — training uses the flash kernel's fused backward)

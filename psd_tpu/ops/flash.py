@@ -53,6 +53,33 @@ def flash_attention(
         return None
     if not _on_tpu():
         return None
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    if info is not None:
+        # mesh composition: run the kernel per batch (and head, under tp)
+        # shard via shard_map — GSPMD can't partition the Mosaic call itself
+        mesh, axes, n = info
+        if B % n:
+            return None
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        tp = mesh.shape.get("tp", 1)
+        h_ax = "tp" if (tp > 1 and H % tp == 0) else None
+        spec = P(axes, None, h_ax, None)
+
+        def _local(q, k, v):
+            from ..parallel.mesh import _BATCH_CTX
+
+            token = _BATCH_CTX.set(None)  # local trace: plain kernel path
+            try:
+                return flash_attention(q, k, v, scale)
+            finally:
+                _BATCH_CTX.reset(token)
+
+        return shard_map(_local, mesh=mesh, in_specs=(spec,) * 3,
+                         out_specs=spec, check_vma=False)(q, k, v)
 
     pallas_flash, BlockSizes = _get_kernel()
     sm_scale = float(scale) if scale is not None else D**-0.5

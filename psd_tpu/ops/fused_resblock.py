@@ -39,20 +39,34 @@ def _xla_reference(x, gn_w, gn_b, w, b, shortcut):
     return out.astype(x.dtype)
 
 
-def _make_kernel(BR, W, Cin, BC, n_row_blocks, has_shortcut):
+def _make_kernel(BR, W, Cin, BC, n_row_blocks, has_shortcut,
+                 weight_resident):
     def kernel(x_hbm, gnw_ref, gnb_ref, w_ref, b_ref, *rest):
         if has_shortcut:
             sc_ref, o_ref, load_buf, act_buf, sem = rest
         else:
             o_ref, load_buf, act_buf, sem = rest
-        bi = pl.program_id(0)
-        r = pl.program_id(1)
+        if weight_resident:
+            # grid (c, b, r): the weight block (indexed by c alone) stays
+            # VMEM-resident across all (b, r) — total weight traffic is one
+            # pass instead of one per row slab; the x slab re-loads per c.
+            bi = pl.program_id(1)
+            r = pl.program_id(2)
+            load_now = True
+        else:
+            # grid (b, r, c): the x slab loads once per (b, r) and is
+            # reused across cout blocks (weights stream per slab — only
+            # sensible when Cout//BC == 1, where Pallas elides the
+            # unchanged-index weight refetch entirely).
+            bi = pl.program_id(0)
+            r = pl.program_id(1)
+            load_now = pl.program_id(2) == 0
 
-        # load + activate the row slab once; reuse across cout blocks.
+        # load + activate the row slab; reuse across cout blocks.
         # act_buf rows: [0]=top halo, [1..BR]=interior, [BR+1]=bottom halo.
         # Rolls (fp32 — Mosaic rotate needs 32-bit) replace all sublane/lane
         # slicing, which Mosaic's tiling constraints forbid.
-        @pl.when(pl.program_id(2) == 0)
+        @pl.when(load_now)
         def _load():
             H = n_row_blocks * BR
             win = min(BR + 2, H)
@@ -125,47 +139,82 @@ def fused_gn_silu_conv3x3(
             interpret = True
     B, H, W_, Cin = x.shape
     Cout = w.shape[-1]
-    BR = min(block_rows, H)
-    if Cin > 1280:
-        BR = min(BR, 8)
-    assert H % BR == 0, (H, BR)
-    # largest divisor of Cout whose (3,3,Cin,BC) weight block fits the
-    # VMEM budget
-    budget = 6 * 1024 * 1024
-    bc_max = max(budget // (9 * Cin * 2), 128)
+    has_shortcut = shortcut is not None
+
+    # --- block sizing under a VMEM budget --------------------------------
+    # weight block ≤ wbudget; then the largest row-slab (BR) whose combined
+    # buffers (load bf16 + act fp32 + double-buffered weight/out/shortcut)
+    # fit TOTAL_BUDGET. Partial channel blocks must be ×128 (Mosaic tiling).
+    wbudget = 6 * 1024 * 1024
     BC = Cout
-    if Cout > 512 or 9 * Cin * Cout * 2 > budget:
-        # partial channel blocks must be multiples of 128 (Mosaic tiling)
+    if Cout > 512 or 9 * Cin * Cout * 2 > wbudget:
+        bc_max = max(wbudget // (9 * Cin * 2), 128)
         for cand in (512, 384, 256, 128):
             if Cout % cand == 0 and cand <= bc_max:
                 BC = cand
                 break
         else:
-            BC = Cout  # fall back to full (small Cout)
+            BC = Cout
     assert Cout % BC == 0, (Cout, BC)
+
+    TOTAL_BUDGET = 12 * 1024 * 1024
+    BR = None
+    # wide rows: BR=16 at W=512 fails Mosaic compilation (measured on v5e;
+    # BR≤8 compiles and validates at every W≥256 decoder shape)
+    br_cap = 8 if W_ >= 256 else min(block_rows, H)
+    for cand in (br_cap, 16, 8, 4):
+        if cand > H or H % cand or cand > br_cap:
+            continue
+        est = (
+            (cand + 2) * W_ * Cin * (4 + 2)        # act fp32 + load bf16
+            + 9 * Cin * BC * 2 * 2                 # weight block (dbl-buf)
+            + cand * W_ * BC * 2 * 2               # out block (dbl-buf)
+            + (cand * W_ * BC * 2 * 2 if has_shortcut else 0)
+        )
+        if est <= TOTAL_BUDGET:
+            BR = cand
+            break
+    if BR is None:
+        # no legal tiling fits VMEM at this shape — XLA reference path
+        return _xla_reference(x, gn_w, gn_b, w, b, shortcut)
     n_row_blocks = H // BR
-    has_shortcut = shortcut is not None
+    # multi-block Cout → keep the weight block resident (c outermost) and
+    # re-stream the x slab per c; single-block Cout → slab-resident order
+    # (Pallas elides the unchanged-index weight refetch).
+    weight_resident = (Cout // BC) > 1
+
+    if weight_resident:
+        w_idx = lambda c, bi, r: (0, 0, 0, c)  # noqa: E731
+        b_idx = lambda c, bi, r: (0, c)  # noqa: E731
+        sc_idx = lambda c, bi, r: (bi, r, 0, c)  # noqa: E731
+        gn_idx = lambda c, bi, r: (0, 0)  # noqa: E731
+        grid = (Cout // BC, B, n_row_blocks)
+    else:
+        w_idx = lambda bi, r, c: (0, 0, 0, c)  # noqa: E731
+        b_idx = lambda bi, r, c: (0, c)  # noqa: E731
+        sc_idx = lambda bi, r, c: (bi, r, 0, c)  # noqa: E731
+        gn_idx = lambda bi, r, c: (0, 0)  # noqa: E731
+        grid = (B, n_row_blocks, Cout // BC)
 
     in_specs = [
-        pl.BlockSpec(memory_space=pltpu.ANY),  # x stays in HBM
-        pl.BlockSpec((B, Cin), lambda bi, r, c: (0, 0)),  # gn vectors: full
-        pl.BlockSpec((B, Cin), lambda bi, r, c: (0, 0)),
-        pl.BlockSpec((3, 3, Cin, BC), lambda bi, r, c: (0, 0, 0, c)),
-        pl.BlockSpec((1, BC), lambda bi, r, c: (0, c)),
+        pl.BlockSpec(memory_space=pl.ANY),  # x stays in HBM
+        pl.BlockSpec((B, Cin), gn_idx),  # gn vectors: full
+        pl.BlockSpec((B, Cin), gn_idx),
+        pl.BlockSpec((3, 3, Cin, BC), w_idx),
+        pl.BlockSpec((1, BC), b_idx),
     ]
     args = [x, gn_w, gn_b, w.astype(x.dtype), b.reshape(1, Cout)]
     if has_shortcut:
-        in_specs.append(
-            pl.BlockSpec((1, BR, W_, BC), lambda bi, r, c: (bi, r, 0, c))
-        )
+        in_specs.append(pl.BlockSpec((1, BR, W_, BC), sc_idx))
         args.append(shortcut)
 
-    kernel = _make_kernel(BR, W_, Cin, BC, n_row_blocks, has_shortcut)
+    kernel = _make_kernel(BR, W_, Cin, BC, n_row_blocks, has_shortcut,
+                          weight_resident)
     out = pl.pallas_call(
         kernel,
-        grid=(B, n_row_blocks, Cout // BC),
+        grid=grid,
         in_specs=in_specs,
-        out_specs=pl.BlockSpec((1, BR, W_, BC), lambda bi, r, c: (bi, r, 0, c)),
+        out_specs=pl.BlockSpec((1, BR, W_, BC), sc_idx),
         out_shape=jax.ShapeDtypeStruct((B, H, W_, Cout), x.dtype),
         scratch_shapes=[
             pltpu.VMEM((BR + 2, W_, Cin), x.dtype),
@@ -199,3 +248,37 @@ def _bwd(block_rows, interpret, residuals, g):
 
 
 fused_gn_silu_conv3x3.defvjp(_fwd, _bwd)
+
+
+def fused_gn_silu_conv3x3_sharded(x, gn_w, gn_b, w, b, shortcut,
+                                  block_rows: int = 16):
+    """Mesh-composing entry: shard_maps the kernel over the active batch
+    axes (gn_w/gn_b are per-batch folded affines and shard with x). Falls
+    back to plain invocation when no >1-device scope is active; returns
+    None when the local batch cannot be formed."""
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    if info is None:
+        return fused_gn_silu_conv3x3(x, gn_w, gn_b, w, b, shortcut,
+                                     block_rows)
+    mesh, axes, n = info
+    if x.shape[0] % n:
+        return None
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    bspec = P(axes, None, None, None)
+    vspec = P(axes, None)
+    if shortcut is None:
+        fn = lambda xx, gw, gb, ww, bb: fused_gn_silu_conv3x3(  # noqa: E731
+            xx, gw, gb, ww, bb, None, block_rows)
+        return shard_map(fn, mesh=mesh,
+                         in_specs=(bspec, vspec, vspec, P(), P()),
+                         out_specs=bspec, check_vma=False)(x, gn_w, gn_b, w, b)
+    fn = lambda xx, gw, gb, ww, bb, sc: fused_gn_silu_conv3x3(  # noqa: E731
+        xx, gw, gb, ww, bb, sc, block_rows)
+    return shard_map(fn, mesh=mesh,
+                     in_specs=(bspec, vspec, vspec, P(), P(), bspec),
+                     out_specs=bspec, check_vma=False)(
+        x, gn_w, gn_b, w, b, shortcut)

@@ -268,3 +268,48 @@ def _proj_bwd(eps, block_m, interpret, residuals, g):
 
 
 ln_proj.defvjp(_proj_fwd, _proj_bwd)
+
+
+def _row_shard_map(fn, x, extras, out_specs_fn):
+    """Run fn(x, *extras) under shard_map with x split on dim 0 over the
+    active batch axes, extras replicated. Caller guarantees divisibility."""
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    if info is None:
+        return fn(x, *extras)
+    mesh, axes, _ = info
+    from jax import shard_map
+
+    return shard_map(
+        fn, mesh=mesh,
+        in_specs=(_P(axes),) + (_P(),) * len(extras),
+        out_specs=out_specs_fn(axes), check_vma=False,
+    )(x, *extras)
+
+
+def _P(*a):
+    from jax.sharding import PartitionSpec
+
+    return PartitionSpec(*a)
+
+
+def ln_geglu_sharded(x, ln_scale, ln_bias, w0, b0, eps: float = 1e-5,
+                     block_m: int = 512):
+    """ln_geglu composed with an active device mesh: the rows (flattened
+    batch·seq, batch-major) shard over the batch axes and each shard runs
+    the single-chip kernel. Identical to ln_geglu when no mesh scope is
+    active."""
+    return _row_shard_map(
+        lambda xx, s, b, w, bb: ln_geglu(xx, s, b, w, bb, eps, block_m),
+        x, (ln_scale, ln_bias, w0, b0), lambda axes: _P(axes))
+
+
+def ln_proj_sharded(x, ln_scale, ln_bias, ws, eps: float = 1e-5,
+                    block_m: int = 512):
+    """ln_proj composed with an active device mesh (see ln_geglu_sharded)."""
+    n = len(ws)
+    return _row_shard_map(
+        lambda xx, s, b, *w: tuple(ln_proj(xx, s, b, tuple(w), eps, block_m)),
+        x, (ln_scale, ln_bias) + tuple(ws),
+        lambda axes: tuple([_P(axes)] * n))

@@ -215,6 +215,11 @@ def spatial_attention(
     Sk = k.shape[1]
     if Sq != Sk or Sq % 256 or Sq > 4096 or D > 256:
         return None
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    if info is not None and B % info[2]:
+        return None  # batch not divisible over the mesh → XLA fallback
     if interpret is None:
         try:
             interpret = jax.default_backend() != "tpu"
@@ -222,12 +227,28 @@ def spatial_attention(
             interpret = True
     sm_scale = float(scale) if scale is not None else D**-0.5
 
-    qt = q.transpose(0, 2, 1, 3).reshape(B * H, Sq, D)
-    kt = k.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    vt = v.transpose(0, 2, 1, 3).reshape(B * H, Sk, D)
-    if quant in ("qk8", "int8"):
-        out = _spattn_q8_impl(qt, kt, vt, sm_scale, block_q,
-                              quant == "int8", interpret)
-    else:
-        out = _spattn(qt, kt, vt, sm_scale, block_q, interpret)
-    return out.reshape(B, H, Sq, D).transpose(0, 2, 1, 3).astype(q.dtype)
+    def _run(q, k, v):
+        Bl, Hl = q.shape[0], q.shape[2]
+        qt = q.transpose(0, 2, 1, 3).reshape(Bl * Hl, Sq, D)
+        kt = k.transpose(0, 2, 1, 3).reshape(Bl * Hl, Sk, D)
+        vt = v.transpose(0, 2, 1, 3).reshape(Bl * Hl, Sk, D)
+        if quant in ("qk8", "int8"):
+            out = _spattn_q8_impl(qt, kt, vt, sm_scale, block_q,
+                                  quant == "int8", interpret)
+        else:
+            out = _spattn(qt, kt, vt, sm_scale, block_q, interpret)
+        return out.reshape(Bl, Hl, Sq, D).transpose(0, 2, 1, 3).astype(q.dtype)
+
+    if info is not None:
+        # batch-dim (and head-dim under tp) shard_map: each shard runs the
+        # unmodified single-chip Mosaic program on its local (B/n, H/tp)
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        mesh, axes, _ = info
+        tp = mesh.shape.get("tp", 1)
+        h_ax = "tp" if (tp > 1 and H % tp == 0) else None
+        spec = P(axes, None, h_ax, None)
+        return shard_map(_run, mesh=mesh, in_specs=(spec,) * 3,
+                         out_specs=spec, check_vma=False)(q, k, v)
+    return _run(q, k, v)

@@ -73,9 +73,14 @@ def split3_attention(
     dis_gate: float = 0.5,
     scale: Optional[float] = None,
     block_q: int = 512,
-    interpret: bool = False,
+    interpret: Optional[bool] = None,
 ) -> jnp.ndarray:
     """Fused gated triple attention; output (B, S, H, D) in q.dtype."""
+    if interpret is None:
+        try:
+            interpret = jax.default_backend() != "tpu"
+        except Exception:
+            interpret = True
     B, S, H, D = q.shape
     scale = scale if scale is not None else D**-0.5
     block_q = min(block_q, S)
@@ -138,3 +143,42 @@ def _split3_bwd(anat_gate, dis_gate, scale, block_q, interpret, residuals, g):
 
 
 split3_attention.defvjp(_split3_fwd, _split3_bwd)
+
+
+def split3_attention_sharded(
+    q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta, delta_scale,
+    anat_gate: float = 0.5, dis_gate: float = 0.5,
+    scale: Optional[float] = None, block_q: int = 512,
+    interpret: Optional[bool] = None,
+):
+    """Mesh-composing entry: under an active >1-device batch scope, runs the
+    kernel inside shard_map over the batch axes (+ head axis under tp), so
+    GSPMD never sees the unpartitionable Mosaic custom call. Returns None
+    when the local batch cannot be formed (caller takes the XLA fallback);
+    identical to split3_attention otherwise."""
+    from ..parallel.mesh import kernel_batch_axes
+
+    info = kernel_batch_axes()
+    args = (q, k_anat, v_anat, k_dis, v_dis, k_delta, v_delta)
+    if info is None:
+        return split3_attention(*args, delta_scale, anat_gate, dis_gate,
+                                scale, block_q, interpret)
+    mesh, axes, n = info
+    B, _, H, _ = q.shape
+    if B % n:
+        return None
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    tp = mesh.shape.get("tp", 1)
+    h_ax = "tp" if (tp > 1 and H % tp == 0) else None
+    spec = P(axes, None, h_ax, None)
+
+    def _run(*a):
+        return split3_attention(*a[:-1], a[-1], anat_gate, dis_gate,
+                                scale, block_q, interpret)
+
+    return shard_map(
+        _run, mesh=mesh, in_specs=(spec,) * 7 + (P(),),
+        out_specs=spec, check_vma=False,
+    )(*args, jnp.asarray(delta_scale, jnp.float32))

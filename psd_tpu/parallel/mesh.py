@@ -101,16 +101,60 @@ def batch_sharding_scope(mesh: Mesh):
 
 def mesh_sharding_active() -> bool:
     """True while tracing inside a batch_sharding_scope over a >1-device
-    mesh. Kernel dispatch sites consult this: GSPMD cannot partition a
-    Mosaic custom call (pallas_call), so under a sharded mesh the model
-    must take its XLA paths — which partition cleanly — instead of the
-    single-chip Pallas kernels (shard_map-wrapping the kernels is the
-    future composition path)."""
+    mesh. GSPMD cannot partition a Mosaic custom call (pallas_call), so the
+    Pallas kernels shard_map themselves over the batch axes instead
+    (kernel_batch_axes below); dispatch sites that still lack a shard_map
+    wrapper consult this and take their XLA fallback."""
     ctx = _BATCH_CTX.get()
     if ctx is None:
         return False
     mesh = ctx[0]
     return mesh.devices.size > 1
+
+
+def kernel_batch_axes():
+    """(mesh, batch_axes, n_batch_shards) while a >1-device batch scope is
+    active at trace time, else None.
+
+    The Pallas kernels use this to wrap themselves in `shard_map` over the
+    batch axes — batch-dim parallelism is embarrassingly parallel for every
+    kernel in ops/ (attention, LN projections, resblock fusions), so each
+    shard runs the unmodified single-chip Mosaic program on its local batch
+    and GSPMD never sees an unpartitionable custom call."""
+    ctx = _BATCH_CTX.get()
+    if ctx is None:
+        return None
+    mesh, axes = ctx
+    if mesh.devices.size == 1:
+        return None
+    names = tuple(axes) if isinstance(axes, (tuple, list)) else (axes,)
+    n = 1
+    for a in names:
+        n *= mesh.shape[a]
+    return mesh, names, int(n)
+
+
+def shard_map_batch0(fn, args, extra_specs=None, out_ndim_batch=True):
+    """Run `fn(*args)` under shard_map with every array arg split on dim 0
+    over the active batch axes (non-arrays / explicitly-spec'd args follow
+    `extra_specs`). Returns fn(*args) directly when no scope is active."""
+    info = kernel_batch_axes()
+    if info is None:
+        return fn(*args)
+    mesh, axes, _ = info
+    from jax import shard_map
+
+    def spec_for(i, a):
+        if extra_specs is not None and extra_specs[i] is not None:
+            return extra_specs[i]
+        if hasattr(a, "ndim") and a.ndim >= 1:
+            return P(*([axes] + [None] * (a.ndim - 1)))
+        return P()
+
+    in_specs = tuple(spec_for(i, a) for i, a in enumerate(args))
+    out_specs = P(axes) if out_ndim_batch else P()
+    return shard_map(fn, mesh=mesh, in_specs=in_specs,
+                     out_specs=out_specs, check_vma=False)(*args)
 
 
 def constrain_batch(x):

@@ -13,6 +13,10 @@ from psd_tpu.ops.norms import group_norm_fold
     ((2, 16, 16, 32), 32, False),
     ((2, 16, 16, 32), 64, True),
     ((1, 8, 8, 64), 32, True),
+    # Cout > 512 → BC=128, 5 c-blocks → weight-resident grid (c outermost)
+    ((1, 16, 16, 64), 640, True),
+    # wide-row VAE-decoder-like shape → VMEM budget drives BR down to 4
+    ((1, 8, 512, 256), 256, False),
 ])
 def test_fused_conv_matches_reference(shape, cout, shortcut):
     B, H, W, Cin = shape

@@ -1,0 +1,190 @@
+"""Pallas-kernel × device-mesh composition (VERDICT r2 item 3).
+
+GSPMD cannot partition a Mosaic custom call, so under an active >1-device
+batch scope every custom kernel wraps itself in `shard_map` over the batch
+axes (parallel/mesh.py::kernel_batch_axes) instead of falling back to XLA.
+These tests run the real dispatch paths on the 8-device virtual CPU mesh
+with PSD_TPU_FORCE_KERNELS=interpret (core/mode.py::kernels_forced) and
+assert (a) numerical equality with the unsharded/XLA math and (b) that the
+pallas_call primitive actually appears in the traced jaxpr — i.e. the
+kernel path ran, not a fallback.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from psd_tpu.parallel.mesh import (
+    MeshConfig,
+    batch_sharding_scope,
+    create_mesh,
+    kernel_batch_axes,
+)
+
+
+@pytest.fixture
+def force_kernels(monkeypatch):
+    monkeypatch.setenv("PSD_TPU_FORCE_KERNELS", "interpret")
+
+
+def _mesh(dp=4, tp=1):
+    return create_mesh(MeshConfig(dp=dp, fsdp=1, tp=tp))
+
+
+def _has_pallas(fn, *args):
+    return "pallas_call" in str(jax.make_jaxpr(fn)(*args))
+
+
+def test_kernel_batch_axes_scope():
+    assert kernel_batch_axes() is None
+    mesh = _mesh(dp=4)
+    with batch_sharding_scope(mesh):
+        info = kernel_batch_axes()
+        assert info is not None and info[2] == 4
+    assert kernel_batch_axes() is None
+
+
+def test_spattn_shard_map_matches_reference(force_kernels):
+    from psd_tpu.ops.spattn import _xla_reference, spatial_attention
+
+    B, S, H, D = 8, 256, 2, 16
+    k = jax.random.split(jax.random.PRNGKey(0), 3)
+    q = jax.random.normal(k[0], (B, S, H, D), jnp.float32)
+    kk = jax.random.normal(k[1], (B, S, H, D), jnp.float32)
+    v = jax.random.normal(k[2], (B, S, H, D), jnp.float32)
+
+    plain = spatial_attention(q, kk, v)
+    assert plain is not None
+    mesh = _mesh(dp=4)
+    with batch_sharding_scope(mesh):
+        sharded = spatial_attention(q, kk, v)
+        assert sharded is not None
+        assert _has_pallas(lambda a, b, c: spatial_attention(a, b, c), q, kk, v)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=2e-4, atol=2e-5)
+    # the wrapped result still matches raw reference math
+    ref = _xla_reference(
+        q.transpose(0, 2, 1, 3).reshape(B * H, S, D),
+        kk.transpose(0, 2, 1, 3).reshape(B * H, S, D),
+        v.transpose(0, 2, 1, 3).reshape(B * H, S, D),
+        D**-0.5,
+    ).reshape(B, H, S, D).transpose(0, 2, 1, 3)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_spattn_indivisible_batch_falls_back(force_kernels):
+    from psd_tpu.ops.spattn import spatial_attention
+
+    q = jnp.zeros((6, 256, 2, 16))  # 6 % 4 != 0
+    with batch_sharding_scope(_mesh(dp=4)):
+        assert spatial_attention(q, q, q) is None
+
+
+def test_split3_shard_map_matches_reference(force_kernels):
+    from psd_tpu.ops.split3 import _xla_split3, split3_attention_sharded
+
+    B, S, H, D = 4, 256, 2, 16
+    n_tok = 4
+    keys = jax.random.split(jax.random.PRNGKey(1), 7)
+    q = jax.random.normal(keys[0], (B, S, H, D), jnp.float32)
+    banks = [jax.random.normal(keys[i + 1], (B, n_tok, H, D), jnp.float32)
+             for i in range(6)]
+    ds = jnp.asarray(0.7, jnp.float32)
+
+    plain = split3_attention_sharded(q, *banks, ds, 0.3, 0.7)
+    mesh = _mesh(dp=4)
+    with batch_sharding_scope(mesh):
+        sharded = split3_attention_sharded(q, *banks, ds, 0.3, 0.7)
+        assert sharded is not None
+        assert _has_pallas(
+            lambda qq, *bb: split3_attention_sharded(qq, *bb[:-1], bb[-1],
+                                                     0.3, 0.7),
+            q, *banks, ds)
+    ref = _xla_split3(q, *banks, ds, 0.3, 0.7, D**-0.5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=2e-4, atol=2e-5)
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(ref),
+                               rtol=2e-4, atol=2e-5)
+
+
+def test_ln_kernels_shard_map_match_reference(force_kernels):
+    from psd_tpu.ops.geglu import (
+        _xla_reference,
+        ln_geglu_sharded,
+        ln_proj_sharded,
+        ln_reference,
+    )
+
+    M, C = 2048, 64
+    keys = jax.random.split(jax.random.PRNGKey(2), 5)
+    x = jax.random.normal(keys[0], (M, C), jnp.float32)
+    s = jax.random.normal(keys[1], (C,)) * 0.1 + 1.0
+    b = jax.random.normal(keys[2], (C,)) * 0.1
+    w0 = jax.random.normal(keys[3], (C, 8 * C)) * 0.05
+    b0 = jax.random.normal(keys[4], (8 * C,)) * 0.05
+    ws = (w0[:, :C], w0[:, C : 2 * C], w0[:, 2 * C : 3 * C])
+
+    mesh = _mesh(dp=4)
+    with batch_sharding_scope(mesh):
+        g = ln_geglu_sharded(x, s, b, w0, b0)
+        projs = ln_proj_sharded(x, s, b, ws)
+        assert _has_pallas(lambda xx: ln_geglu_sharded(xx, s, b, w0, b0), x)
+    np.testing.assert_allclose(
+        np.asarray(g), np.asarray(_xla_reference(x, s, b, w0, b0, 1e-5)),
+        rtol=2e-4, atol=2e-4)
+    xn = ln_reference(x, s, b)
+    for p, w in zip(projs, ws):
+        np.testing.assert_allclose(np.asarray(p), np.asarray(xn @ w),
+                                   rtol=2e-4, atol=2e-4)
+
+
+def test_fused_resblock_shard_map_matches_reference(force_kernels):
+    from psd_tpu.ops.fused_resblock import (
+        _xla_reference,
+        fused_gn_silu_conv3x3_sharded,
+    )
+
+    B, H, W, Cin, Cout = 4, 16, 16, 128, 128
+    keys = jax.random.split(jax.random.PRNGKey(3), 5)
+    x = jax.random.normal(keys[0], (B, H, W, Cin), jnp.float32)
+    gw = jax.random.normal(keys[1], (B, Cin)) * 0.1 + 1.0
+    gb = jax.random.normal(keys[2], (B, Cin)) * 0.1
+    w = jax.random.normal(keys[3], (3, 3, Cin, Cout)) * 0.05
+    b = jax.random.normal(keys[4], (Cout,)) * 0.1
+    with batch_sharding_scope(_mesh(dp=4)):
+        out = fused_gn_silu_conv3x3_sharded(x, gw, gb, w, b, None)
+    ref = _xla_reference(x, gw, gb, w, b, None)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_unet_sampler_kernel_paths_under_mesh(force_kernels):
+    """Full tiny-UNet forward under a dp×tp mesh with the kernel dispatch
+    forced on: the traced program contains pallas_call (kernels, via
+    shard_map — not XLA fallbacks) and matches the no-mesh forward."""
+    from psd_tpu.models.unet import UNet2DCondition, UNetConfig
+
+    cfg = UNetConfig(block_out_channels=(64, 128), layers_per_block=1,
+                     num_heads=2, cross_attention_dim=64, attn_mode="split3",
+                     dtype=jnp.float32)
+    unet = UNet2DCondition(cfg)
+    B = 4
+    lat = jnp.zeros((B, 32, 32, 4), jnp.float32)  # stage-0 S=1024 ≥ 512
+    t = jnp.full((B,), 500, jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (B, 48, 64), jnp.float32)
+    params = unet.init(jax.random.PRNGKey(5), lat, t, ctx, 0.0)
+    x = jax.random.normal(jax.random.PRNGKey(6), (B, 32, 32, 4), jnp.float32)
+
+    plain = unet.apply(params, x, t, ctx, 0.5)
+
+    mesh = _mesh(dp=2, tp=2)
+    with batch_sharding_scope(mesh):
+        fn = lambda p, x, t, c: unet.apply(p, x, t, c, 0.5)  # noqa: E731
+        jaxpr = str(jax.make_jaxpr(fn)(params, x, t, ctx))
+        assert "pallas_call" in jaxpr and "shard_map" in jaxpr
+        sharded = fn(params, x, t, ctx)
+
+    np.testing.assert_allclose(np.asarray(sharded), np.asarray(plain),
+                               rtol=5e-4, atol=5e-4)
