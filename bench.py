@@ -115,6 +115,14 @@ def main() -> None:
                 "value": round(img_per_s, 4),
                 "unit": "img/s",
                 "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 4),
+                # the reference publishes no throughput numbers (BASELINE.md);
+                # vs_baseline divides by an ESTIMATED A100 fp16 anchor
+                "baseline_anchor": {
+                    "img_per_s": A100_BASELINE_IMG_PER_S,
+                    "what": "A100 fp16 SD-1.x 512px 50-step batched sampling",
+                    "source": "public diffusers benchmarks (estimate; "
+                              "reference publishes no numbers)",
+                },
             }
         )
     )

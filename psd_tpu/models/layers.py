@@ -76,11 +76,12 @@ class Conv3x3(nn.Module):
     param_dtype: jnp.dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x, apply: bool = True):
+    def __call__(self, x, apply: bool = True, in_features: int | None = None):
         kernel = self.param(
             "kernel",
             nn.initializers.lecun_normal(),
-            (3, 3, x.shape[-1], self.features),
+            (3, 3, in_features if in_features is not None else x.shape[-1],
+             self.features),
             self.param_dtype,
         )
         bias = self.param("bias", nn.initializers.zeros, (self.features,),
@@ -94,40 +95,14 @@ class Conv3x3(nn.Module):
         return out + bias.astype(out.dtype)
 
 
-def _fused_resblock_ok(x) -> bool:
-    """Gate the fused Pallas resblock: TPU backend, sizeable spatial dims
-    (where the HBM savings matter and VMEM fits), aligned rows.
-
-    Default OFF (PSD_TPU_FUSED_RESBLOCK=1 to enable): measured at parity
-    with XLA's per-op pipeline — blocked fusion re-streams conv weights per
-    row-block, cancelling the activation-pass savings (docs/perf_notes.md).
-    Kept as correctness-tested groundwork for a weight-resident variant."""
-    import os
-
-    if os.environ.get("PSD_TPU_FUSED_RESBLOCK") != "1":
-        return False
-    B, H, W, C = x.shape
-    if H < 16 or W < 16 or H % 8 or W % 8:
-        return False
-    if C % 128 != 0:
-        # Mosaic DMA lane constraint: channel slices must be ×128
-        return False
-    from ..core.mode import kernel_backend_ok
-    from ..parallel.mesh import kernel_batch_axes
-
-    info = kernel_batch_axes()
-    if info is not None and B % info[2]:
-        return False  # batch must split evenly for the shard_map'd kernel
-    return kernel_backend_ok()
-
-
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv → +temb → GN→SiLU→conv → +shortcut (diffusers ResnetBlock2D).
 
-    On TPU the two GN→SiLU→conv chains run as fused Pallas kernels
-    (ops/fused_resblock.py) with the timestep embedding folded analytically
-    into the second norm and the residual fused into the second conv's
-    epilogue — the whole block touches HBM ~7 tensor-passes instead of ~13.
+    Runs as plain XLA: a hand-fused Pallas GN→SiLU→conv chain was built and
+    measured twice (round 1: parity; round 3 weight-resident rewrite: 1.56×
+    SLOWER than XLA on VAE decode, its best-case shape class — 196.7 vs
+    126.4 ms/batch-8 interleaved) and deleted by that measurement. XLA's
+    conv fusion is the floor here (docs/perf_notes.md "fused resblock").
     """
 
     out_channels: int
@@ -149,9 +124,9 @@ class ResnetBlock2D(nn.Module):
                 and not is_training())
 
     @nn.compact
-    def __call__(self, x, temb=None):
+    def __call__(self, x, temb=None, skip=None):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
-        in_ch = x.shape[-1]
+        in_ch = x.shape[-1] + (skip.shape[-1] if skip is not None else 0)
         norm1 = GroupNorm(num_groups=self.groups, epsilon=self.eps,
                           name="norm1", **kw)
         norm2 = GroupNorm(num_groups=self.groups, epsilon=self.eps,
@@ -165,21 +140,52 @@ class ResnetBlock2D(nn.Module):
                 nn.silu(temb)
             )
 
-        if _fused_resblock_ok(x):
-            from ..ops.fused_resblock import fused_gn_silu_conv3x3_sharded
+        if (skip is not None and in_ch != self.out_channels
+                and not self._q_conv_ok(x)):
+            # up-path skip join WITHOUT materializing concat([x, skip]):
+            # GN stats over the virtual concat (group_norm_fold_parts —
+            # exact), normalize+SiLU each part in place, and run conv1 and
+            # the 1×1 shortcut as split-weight convolutions (linearity:
+            # conv([a|b], k) == conv(a, k[:Ca]) + conv(b, k[Ca:])). Param
+            # tree/shapes are identical to the concat formulation. Saves the
+            # write+reads of the concat tensor (~0.5 GB/step at 512²).
+            C1 = x.shape[-1]
+            w, b = norm1((x, skip))  # (B, in_ch) fp32 affine
+            dt = self.dtype
 
-            x = x.astype(self.dtype)
-            k1, b1 = conv1(x, apply=False)
-            w1, bb1 = norm1(x, fold_only=True)
-            h = fused_gn_silu_conv3x3_sharded(x, w1, bb1, k1, b1, None)
-            k2, b2 = conv2(h, apply=False)
-            w2, bb2 = norm2(h, fold_only=True, shift=emb)
-            if in_ch != self.out_channels:
-                shortcut = nn.Conv(self.out_channels, (1, 1),
-                                   name="conv_shortcut", **kw)(x)
-            else:
-                shortcut = x
-            return fused_gn_silu_conv3x3_sharded(h, w2, bb2, k2, b2, shortcut)
+            def napply(t, lo, hi):
+                wv = w[:, None, None, lo:hi].astype(dt)
+                bv = b[:, None, None, lo:hi].astype(dt)
+                return nn.silu(t.astype(dt) * wv + bv)
+
+            def conv_nhwc(t, k):
+                return jax.lax.conv_general_dilated(
+                    t, k.astype(dt), (1, 1), [(1, 1), (1, 1)],
+                    dimension_numbers=("NHWC", "HWIO", "NHWC"),
+                )
+
+            k1, b1 = conv1(x, apply=False, in_features=in_ch)
+            h = (
+                conv_nhwc(napply(x, 0, C1), k1[:, :, :C1])
+                + conv_nhwc(napply(skip, C1, in_ch), k1[:, :, C1:])
+                + b1.astype(dt)
+            )
+            # h + temb folds analytically into norm2 (ops/norms.py shift)
+            h = nn.silu(norm2(h, shift=emb))
+            h = conv2(h)
+            ks, bs = Conv1x1Params(self.out_channels, name="conv_shortcut",
+                                   param_dtype=self.param_dtype)(in_ch)
+            sc = (
+                jnp.dot(x.astype(dt), ks[0, 0, :C1].astype(dt),
+                        preferred_element_type=jnp.float32)
+                + jnp.dot(skip.astype(dt), ks[0, 0, C1:].astype(dt),
+                          preferred_element_type=jnp.float32)
+                + bs.astype(jnp.float32)
+            ).astype(dt)
+            return sc + h
+
+        if skip is not None:
+            x = jnp.concatenate([x, skip], axis=-1)
 
         if self._q_conv_ok(x):
             from ..ops.quant import qconv3x3
@@ -200,9 +206,9 @@ class ResnetBlock2D(nn.Module):
         h = norm1(x)
         h = nn.silu(h)
         h = conv1(h)
-        if emb is not None:
-            h = h + emb[:, None, None, :].astype(h.dtype)
-        h = norm2(h)
+        # h + temb folds analytically into norm2's statistics and affine
+        # (ops/norms.py group_norm_fold shift) — never materialized
+        h = norm2(h, shift=emb)
         h = nn.silu(h)
         h = conv2(h)
         if in_ch != self.out_channels:

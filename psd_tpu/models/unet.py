@@ -209,9 +209,11 @@ class UNet2DCondition(nn.Module):
             mode = cfg.attn_mode_for("up", i)
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
-                h = jnp.concatenate([h, skip], axis=-1)
+                # the skip join is a VIRTUAL concat: ResnetBlock2D computes
+                # GN stats over both parts and splits conv1/shortcut weights
+                # so concat([h, skip]) is never materialized (layers.py)
                 h = ResBlock(out_ch, name=f"up_blocks_{i}_resnets_{j}",
-                             quant=cfg.quant, **kw)(h, temb)
+                             quant=cfg.quant, **kw)(h, temb, skip)
                 if has_attn:
                     h = AttnBlock(
                         cfg.num_heads,

@@ -30,22 +30,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
-def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale):
-    q = q_ref[0]  # (BQ, D)
+def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, D):
+    """VPU budget is the limiter at S=4096 (the MXU work is ~2.8 ms/site but
+    ~5 elementwise passes over the S² logits cost more) — so every S²-sized
+    VPU op matters:
+      * the softmax scale is folded into q (a (BQ,D) multiply, 1/S the work
+        of scaling the logits);
+      * the softmax denominator comes out of the MXU for free: v carries an
+        appended ones-column (D→D+1 pads into the same 128-lane tile), so
+        PV's last column IS Σp — no S²-wide VPU sum-reduce pass. Numerator
+        and denominator then use the SAME bf16-rounded p, making the output
+        an exact convex combination of v rows."""
+    q = q_ref[0] * scale  # (BQ, D) — fold scale pre-contraction
     k = k_ref[0]  # (S, D)
-    v = v_ref[0]  # (S, D)
+    v = v_ref[0]  # (S, D+1), last column ones
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     )  # (BQ, S)
-    logits = logits * scale
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
-    l = jnp.sum(p, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m).astype(v.dtype)
     z = jax.lax.dot_general(
-        p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+        p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    )  # (BQ, D)
-    o_ref[0] = (z / l).astype(o_ref.dtype)
+    )  # (BQ, D+1); z[:, D] = Σp
+    l = z[:, D : D + 1]  # static slice (Pallas TPU lowers slice, not dynamic_slice)
+    o_ref[0] = (z[:, :D] / l).astype(o_ref.dtype)
 
 
 def _kernel_q8(q_ref, sq_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
@@ -135,13 +144,19 @@ def _spattn_fwd_impl(q, k, v, scale, block_q, interpret):
     BH, S, D = q.shape
     BQ = min(block_q, S)
     assert S % BQ == 0
+    # ones-column appended to v: the PV matmul then emits the softmax
+    # denominator as its last output column (see _kernel). D→D+1 stays
+    # inside the same 128-lane tile, so the MXU cost is unchanged.
+    v_ext = jnp.concatenate(
+        [v, jnp.ones((BH, S, 1), v.dtype)], axis=-1
+    )
     out = pl.pallas_call(
-        functools.partial(_kernel, scale=scale),
+        functools.partial(_kernel, scale=scale, D=D),
         grid=(BH, S // BQ),
         in_specs=[
             pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
             pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
-            pl.BlockSpec((1, S, D), lambda b, j: (b, 0, 0)),
+            pl.BlockSpec((1, S, D + 1), lambda b, j: (b, 0, 0)),
         ],
         out_specs=pl.BlockSpec((1, BQ, D), lambda b, j: (b, j, 0)),
         out_shape=jax.ShapeDtypeStruct((BH, S, D), q.dtype),
@@ -149,7 +164,7 @@ def _spattn_fwd_impl(q, k, v, scale, block_q, interpret):
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
         ),
-    )(q, k, v)
+    )(q, k, v_ext)
     return out
 
 

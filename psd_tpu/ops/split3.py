@@ -28,16 +28,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 def _kernel(ds_ref, q_ref, ka_ref, va_ref, kd_ref, vd_ref, kl_ref, vl_ref,
             o_ref, *, scale: float, anat_gate: float, dis_gate: float):
-    q = q_ref[0].astype(jnp.float32)  # (block_q, D)
+    # Input-dtype matmuls with fp32 accumulation (bf16 in the model — fp32
+    # MXU contractions cost multiple passes per tile for no accuracy the
+    # bf16 pipeline keeps anyway; CPU tests feed fp32 and stay exact).
+    # The softmax scale folds into q: a (block_q, D) multiply instead of
+    # three (block_q, KV)-sized logit scalings.
+    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # (block_q, D)
 
     def att(k_ref, v_ref):
-        k = k_ref[0].astype(jnp.float32)  # (KV, D)
-        v = v_ref[0].astype(jnp.float32)
+        k = k_ref[0]  # (KV, D)
+        v = v_ref[0]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        ) * scale  # (block_q, KV)
+        )  # (block_q, KV) fp32
         p = jax.nn.softmax(logits, axis=-1)
-        return jnp.dot(p, v, preferred_element_type=jnp.float32)
+        return jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     out = anat_gate * att(ka_ref, va_ref) + dis_gate * att(kd_ref, vd_ref)
     out = out + ds_ref[0] * att(kl_ref, vl_ref)

@@ -120,8 +120,9 @@ def main():
         orig = orig_trans(self, x[:1, :1, :1], context[:1, :1], delta_scale)
         return x + orig.mean().astype(x.dtype) * 0
 
-    def res_light(self, x, temb=None):
-        orig = orig_res(self, x[:, :8, :8, :], temb)
+    def res_light(self, x, temb=None, skip=None):
+        orig = orig_res(self, x[:, :8, :8, :], temb,
+                        None if skip is None else skip[:, :8, :8, :])
         pad = jnp.zeros(x.shape[:-1] + (orig.shape[-1],), x.dtype)
         return pad + orig.mean().astype(x.dtype) * 0
 

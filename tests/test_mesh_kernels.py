@@ -140,26 +140,6 @@ def test_ln_kernels_shard_map_match_reference(force_kernels):
                                    rtol=2e-4, atol=2e-4)
 
 
-def test_fused_resblock_shard_map_matches_reference(force_kernels):
-    from psd_tpu.ops.fused_resblock import (
-        _xla_reference,
-        fused_gn_silu_conv3x3_sharded,
-    )
-
-    B, H, W, Cin, Cout = 4, 16, 16, 128, 128
-    keys = jax.random.split(jax.random.PRNGKey(3), 5)
-    x = jax.random.normal(keys[0], (B, H, W, Cin), jnp.float32)
-    gw = jax.random.normal(keys[1], (B, Cin)) * 0.1 + 1.0
-    gb = jax.random.normal(keys[2], (B, Cin)) * 0.1
-    w = jax.random.normal(keys[3], (3, 3, Cin, Cout)) * 0.05
-    b = jax.random.normal(keys[4], (Cout,)) * 0.1
-    with batch_sharding_scope(_mesh(dp=4)):
-        out = fused_gn_silu_conv3x3_sharded(x, gw, gb, w, b, None)
-    ref = _xla_reference(x, gw, gb, w, b, None)
-    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
-                               rtol=2e-4, atol=2e-4)
-
-
 def test_unet_sampler_kernel_paths_under_mesh(force_kernels):
     """Full tiny-UNet forward under a dp×tp mesh with the kernel dispatch
     forced on: the traced program contains pallas_call (kernels, via
