@@ -34,6 +34,31 @@ def is_training() -> bool:
     return _TRAINING.get()
 
 
+_DISABLED: ContextVar[frozenset] = ContextVar(
+    "psd_tpu_disabled_kernels", default=frozenset()
+)
+
+
+@contextlib.contextmanager
+def disable_kernels(*names: str):
+    """Trace-time kernel kill-switch for interleaved A/B measurement.
+
+    Dispatch gates consult `kernel_disabled(name)`; tracing a program inside
+    this scope routes the named kernels to their XLA fallbacks. Purely a
+    measurement tool (scripts/bench_*): both variants build in ONE process
+    so the shared-chip contention discipline (interleaved round-robin,
+    per-variant minimum — docs/perf_notes.md) applies."""
+    token = _DISABLED.set(_DISABLED.get() | frozenset(names))
+    try:
+        yield
+    finally:
+        _DISABLED.reset(token)
+
+
+def kernel_disabled(name: str) -> bool:
+    return name in _DISABLED.get()
+
+
 def kernels_forced() -> bool:
     """True when PSD_TPU_FORCE_KERNELS=interpret: kernel dispatch gates
     treat the backend as TPU-capable and the Pallas kernels run in

@@ -364,6 +364,7 @@ class Attention(nn.Module):
             outs = ln_proj_sharded(
                 x.reshape(B * S, inner_dim).astype(self.dtype),
                 ln_scale, ln_bias, ws,
+                block_m=_ln_block_m(inner_dim),
             )
             outs = [o.reshape(B, S, inner_dim) for o in outs]
         else:
@@ -516,6 +517,34 @@ class LayerNormParams(nn.Module):
         return s, b
 
 
+def _ln_block_m(C: int) -> int:
+    """Row-block for the fused LN kernels: 1024 measured ~6-8% faster than
+    512 at stage-0 (fewer weight re-streams); stage-2 widths (C≥1280) keep
+    512 — the fp32 LN temporaries at BM=1024×1280 would crowd VMEM."""
+    return 1024 if C <= 640 else 512
+
+
+def _gn_proj_fused_ok(B: int, S: int, C: int) -> bool:
+    """Gate for the fused GN-affine→proj_in kernel (ops/gnproj.py):
+    inference-only (its VJP re-derives through XLA reference math, redundant
+    under remat — same rationale as the LN kernels), TPU backend, and
+    block-aligned shapes. Under an active mesh the kernel shard_maps over
+    the batch axes (gn_proj_sharded), so per-shard batch must divide."""
+    from ..core.mode import is_training, kernel_disabled
+    from ..parallel.mesh import kernel_batch_axes
+
+    if is_training() or kernel_disabled("gnproj"):
+        return False
+    if S % 64 or C % 64:
+        return False
+    info = kernel_batch_axes()
+    if info is not None and B % info[2]:
+        return False
+    from ..core.mode import kernel_backend_ok
+
+    return kernel_backend_ok()
+
+
 def _ln_geglu_fused_ok(x) -> bool:
     from ..core.mode import is_training
     from ..parallel.mesh import kernel_batch_axes
@@ -599,13 +628,34 @@ class GEGLUFeedForward(nn.Module):
             h = ln_geglu_sharded(
                 x.reshape(B * S, dim).astype(self.dtype),
                 ln_scale, ln_bias, w0, b0,
+                block_m=_ln_block_m(dim),
             ).reshape(B, S, dim * self.mult)
         else:
-            h = geglu_of(
-                jnp.dot(normed(), w0.astype(self.dtype),
-                        preferred_element_type=jnp.float32)
-                + b0.astype(jnp.float32)
-            )
+            from ..parallel.mesh import constrain_tp_geglu, tp_active
+
+            if tp_active():
+                # tp-aware GEGLU: project the [h|g] halves as two dots
+                # against a (dim, 2, 4·dim) kernel view sharded on its last
+                # dim — both halves land on the same rank, h·gelu(g) stays
+                # rank-local, net_2's row-parallel spec psums (mesh.py
+                # constrain_tp_geglu). Same reductions, same math.
+                N = dim * self.mult
+                w3 = constrain_tp_geglu(
+                    w0.reshape(dim, 2, N).astype(self.dtype)
+                )
+                b2 = b0.reshape(2, N).astype(jnp.float32)
+                xn = normed()
+                hh = jnp.dot(xn, w3[:, 0],
+                             preferred_element_type=jnp.float32) + b2[0]
+                gg = jnp.dot(xn, w3[:, 1],
+                             preferred_element_type=jnp.float32) + b2[1]
+                h = (hh * gelu(gg)).astype(self.dtype)
+            else:
+                h = geglu_of(
+                    jnp.dot(normed(), w0.astype(self.dtype),
+                            preferred_element_type=jnp.float32)
+                    + b0.astype(jnp.float32)
+                )
 
         if q8_net2 or (use_q8 and ln_scale is None):
             from ..ops.quant import qdense
@@ -672,7 +722,7 @@ class Transformer2D(nn.Module):
         from ..core.mode import is_training
 
         use_q8 = self.quant == "int8" and not is_training()
-        h = GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)(x)
+        norm = GroupNorm(num_groups=32, epsilon=1e-6, name="norm", **kw)
 
         def conv1x1(t, name):
             # 1×1 conv ≡ matmul over flattened pixels; nn.Conv-compatible tree
@@ -692,8 +742,29 @@ class Transformer2D(nn.Module):
             ) + bias.astype(jnp.float32)
             return out.astype(self.dtype).reshape(t.shape[:-1] + (C,))
 
-        h = conv1x1(h, "proj_in")
-        h = h.reshape(B, H * W, C)
+        h = None
+        if not use_q8 and _gn_proj_fused_ok(B, H * W, C):
+            # folded-GN affine + proj_in as ONE Pallas kernel: the normalized
+            # tensor never touches HBM (ops/gnproj.py); stats stay the
+            # lane-aligned one-pass fold (ops/norms.py)
+            from ..ops.gnproj import gn_proj_sharded
+
+            kin, bin_ = Conv1x1Params(C, name="proj_in",
+                                      param_dtype=self.param_dtype)()
+            wf, bf = norm(x, fold_only=True)
+            bm = next(
+                m for m in (_ln_block_m(C), 512, 256, 128, 64)
+                if (H * W) % m == 0
+            )
+            outs = gn_proj_sharded(
+                x.reshape(B, H * W, C).astype(self.dtype), wf, bf,
+                (kin.reshape(C, C),), (bin_,), block_m=bm,
+            )
+            if outs is not None:
+                h = outs[0]
+        if h is None:
+            h = conv1x1(norm(x), "proj_in")
+            h = h.reshape(B, H * W, C)
         for d in range(self.depth):
             h = BasicTransformerBlock(
                 self.num_heads,

@@ -157,6 +157,35 @@ def shard_map_batch0(fn, args, extra_specs=None, out_ndim_batch=True):
                      out_specs=out_specs, check_vma=False)(*args)
 
 
+def tp_active() -> bool:
+    """True while tracing inside a batch_sharding_scope whose mesh has a
+    tp axis > 1. Consulted at trace time by the GEGLU feed-forward to pick
+    the tp-aware split-projection formulation (see constrain_tp_geglu)."""
+    ctx = _BATCH_CTX.get()
+    return ctx is not None and ctx[0].shape.get("tp", 1) > 1
+
+
+def constrain_tp_geglu(w3):
+    """Shard a GEGLU net_0_proj kernel VIEW (C, 2, 4C) over tp on its last
+    dim. The stored (C, 8C) parameter packs [h|g] halves along columns, so a
+    contiguous column shard P(None, tp) would put h and gate on different
+    ranks (the round-2 reason net_0_proj stayed replicated). The (C, 2, 4C)
+    reshape makes the halves a separate axis — P(None, None, tp) gives every
+    rank the SAME column slice of both halves, h·gelu(g) stays rank-local,
+    and net_2's row-parallel spec psums the 4C contraction (VERDICT r2 #7).
+    No-op outside a tp>1 scope."""
+    ctx = _BATCH_CTX.get()
+    if ctx is None:
+        return w3
+    mesh = ctx[0]
+    n = mesh.shape.get("tp", 1)
+    if n <= 1 or w3.shape[-1] % n:
+        return w3
+    return jax.lax.with_sharding_constraint(
+        w3, NamedSharding(mesh, P(None, None, "tp"))
+    )
+
+
 def constrain_batch(x):
     """Re-assert batch sharding on the leading dim (no-op outside a scope)."""
     ctx = _BATCH_CTX.get()
@@ -201,8 +230,11 @@ def shard_params(params, mesh: Mesh):
 #        C-shards are whole-head groups and attention stays rank-local)
 #   to_out_0                          (C, C)     → row-parallel P(tp, _)
 #   ff net_2                          (4C, C)    → row-parallel P(tp, _)
-#   (ff net_0_proj stays replicated: its [h|g] GEGLU halves split at 4C,
-#    so an output shard would put h and gate on different ranks)
+#   ff net_0_proj                     (C, 8C)    → column-parallel at USE
+#       time through a (C, 2, 4C) kernel view (constrain_tp_geglu): the
+#       stored [h|g]-packed parameter keeps its diffusers-compatible shape
+#       (fsdp shards it at rest), while the compute shards both GEGLU
+#       halves symmetrically so h·gelu(g) stays rank-local.
 #
 # The reference has no TP of any kind (SURVEY.md §2.2); this axis exists for
 # large-batch multi-chip sampling throughput. NOTE: the custom Pallas

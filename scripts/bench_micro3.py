@@ -79,6 +79,29 @@ def main():
     variants["conv_out fp32"] = build_loop(lambda t, k: conv(t, k, jnp.float32), h, k)
     variants["conv_out bf16"] = build_loop(lambda t, k: conv(t, k, jnp.bfloat16), h, k)
 
+    # N=4 pads to 128 lanes either way — hand XLA the padded-N conv so its
+    # layout choice isn't driven by the tiny logical N
+    kpad = jnp.zeros((3, 3, 320, 128), k.dtype).at[..., :4].set(k)
+    variants["conv_out bf16 N128"] = build_loop(
+        lambda t, kp: conv(t, kp, jnp.bfloat16), h, kpad)
+
+    # 9-shifted-matmul formulation (no im2col blowup: one matmul per tap)
+    def conv_shift(t, k):
+        B_, H_, W_, C_ = t.shape
+        N_ = k.shape[-1]
+        tp = jnp.pad(t, ((0, 0), (1, 1), (1, 1), (0, 0)))
+        acc = jnp.zeros((B_, H_, W_, N_), jnp.float32)
+        for dy in range(3):
+            for dx in range(3):
+                acc = acc + jnp.dot(
+                    tp[:, dy : dy + H_, dx : dx + W_, :],
+                    k[dy, dx].astype(t.dtype),
+                    preferred_element_type=jnp.float32,
+                )
+        return acc
+
+    variants["conv_out 9shift"] = build_loop(conv_shift, h, k)
+
     times = {n: [] for n in variants}
     for _ in range(ROUNDS):
         for name, (fn, args) in variants.items():
