@@ -180,13 +180,24 @@ class DADDCore(nn.Module):
         return self.unet(dummy, t, cond, delta_scale, phase="decode",
                          cached=cached)
 
+    def eps_deep(self, latents, t, cond, delta_scale=0.0):
+        """Full forward that ALSO returns the DeepCache branch feature
+        (models/unet.py phase='deep'; arXiv:2310.01407) → (eps, deep)."""
+        return self.unet(latents, t, cond, delta_scale, phase="deep")
+
+    def eps_shallow(self, latents, t, cond, cached, delta_scale=0.0):
+        """Shallow path (conv_in → down0 → last up block ← cached) → eps."""
+        return self.unet(latents, t, cond, delta_scale, phase="shallow",
+                         cached=cached)
+
     def __call__(self, latents, t, labels, clip_feats=None, delta_scale=0.0):
         cond = self.prepare_conditioning(labels, clip_feats)
         return self.unet(latents, t, cond, delta_scale)
 
 
 def core_config_from(cfg: Config, remat: Optional[bool] = None,
-                     dtype=jnp.bfloat16, quant: str = "none") -> DADDCoreConfig:
+                     dtype=jnp.bfloat16, quant: str = "none",
+                     tome_ratio: float = 0.0) -> DADDCoreConfig:
     """Build a DADDCoreConfig from a reference-format Config."""
     m = cfg.model
     attn_mode = "split3" if m.use_routing_gates else "split2"
@@ -206,6 +217,7 @@ def core_config_from(cfg: Config, remat: Optional[bool] = None,
         gate_init_disease=m.gate_init_disease,
         remat=cfg.training.gradient_checkpointing if remat is None else remat,
         quant=quant,
+        tome_ratio=tome_ratio,
         dtype=dtype,
     )
     return DADDCoreConfig(
@@ -460,6 +472,7 @@ class DADD:
         shared_noise: bool,
         do_cfg: bool,
         encoder_stride: int = 1,
+        cache_mode: str = "encoder",
     ) -> jnp.ndarray:
         B = cond.shape[0]
         lat = image_size // self.spatial_factor
@@ -482,27 +495,43 @@ class DADD:
         if encoder_stride > 1:
             if do_cfg:
                 raise ValueError(
-                    "encoder propagation is not supported with dual-pass CFG"
+                    "feature propagation is not supported with dual-pass CFG"
                 )
 
-            def encode_fn(x, t, i):
-                return self.core.apply(
-                    core_params, x, t, cond, steer_scale,
-                    method=self.core.eps_encode,
-                )
+            if cache_mode == "deep":
 
-            def decode_fn(t, i, cache):
-                return self.core.apply(
-                    core_params, t, cond, cache, steer_scale,
-                    method=self.core.eps_decode,
-                )
+                def encode_fn(x, t, i):
+                    return self.core.apply(
+                        core_params, x, t, cond, steer_scale,
+                        method=self.core.eps_deep,
+                    )
+
+                def decode_fn(x, t, i, cache):
+                    return self.core.apply(
+                        core_params, x, t, cond, cache, steer_scale,
+                        method=self.core.eps_shallow,
+                    )
+            else:
+
+                def encode_fn(x, t, i):
+                    return self.core.apply(
+                        core_params, x, t, cond, steer_scale,
+                        method=self.core.eps_encode,
+                    )
+
+                def decode_fn(t, i, cache):
+                    return self.core.apply(
+                        core_params, t, cond, cache, steer_scale,
+                        method=self.core.eps_decode,
+                    )
 
         return ddim_sample(
             eps_fn,
             x0,
             self.schedule,
             SamplerConfig(sampling_steps=steps, eta=eta,
-                          encoder_stride=encoder_stride),
+                          encoder_stride=encoder_stride,
+                          cache_mode=cache_mode),
             key=eta_key if eta > 0 else None,
             encode_fn=encode_fn,
             decode_fn=decode_fn,
@@ -543,6 +572,7 @@ class DADD:
         shared_noise: bool = True,
         eta_key: Optional[jax.Array] = None,
         encoder_stride: int = 1,
+        cache_mode: str = "encoder",
     ) -> jnp.ndarray:
         """sample + VAE decode as ONE jitted program → images in [0,1].
 
@@ -553,7 +583,7 @@ class DADD:
         do_cfg = cond_uncond is not None
         static = dict(image_size=image_size, steps=steps, eta=eta,
                       shared_noise=shared_noise, do_cfg=do_cfg,
-                      encoder_stride=encoder_stride)
+                      encoder_stride=encoder_stride, cache_mode=cache_mode)
         from ..core.mode import is_training
 
         cache_key = ("generate",) + tuple(sorted(static.items())) + (is_training(),)
@@ -594,6 +624,7 @@ class DADD:
         eta_key: Optional[jax.Array] = None,
         mesh=None,
         encoder_stride: int = 1,
+        cache_mode: str = "encoder",
     ) -> jnp.ndarray:
         """DDIM sampling; returns scaled latents (B, h, w, 4).
 
@@ -615,6 +646,7 @@ class DADD:
             shared_noise=shared_noise,
             do_cfg=do_cfg,
             encoder_stride=encoder_stride,
+            cache_mode=cache_mode,
             dp_sharded=mesh is not None,
         )
         uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)

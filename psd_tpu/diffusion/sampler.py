@@ -41,6 +41,16 @@ class SamplerConfig:
     # >1 is an approximation (consecutive-step encoder features are nearly
     # identical) that drops ~40% of UNet FLOPs at stride 2. Opt-in.
     encoder_stride: int = 1
+    # which features propagate across non-key steps when encoder_stride > 1:
+    #   "encoder" — Faster-Diffusion: cache down+mid, re-run the decoder
+    #               (encode_fn(x,t,i)→cache; decode_fn(t,i,cache)→eps).
+    #   "deep"    — DeepCache (arXiv:2310.01407): cache the feature entering
+    #               the LAST up block; non-key steps run only the shallow
+    #               path (conv_in → down block 0 → last up block → out), so
+    #               the CURRENT x_t still flows through every step
+    #               (encode_fn(x,t,i)→(eps, cache);
+    #                decode_fn(x,t,i,cache)→eps).
+    cache_mode: str = "encoder"
 
 
 def ddim_sample(
@@ -86,11 +96,23 @@ def ddim_sample(
     if use_prop and (encode_fn is None or decode_fn is None):
         raise ValueError("encoder_stride > 1 requires encode_fn/decode_fn")
 
+    deep = cfg.cache_mode == "deep"
+
     def step(carry, scan_in):
         x, cache = carry
         i, t, t_prev, k = scan_in
         t_b = jnp.full((batch,), t, dtype=jnp.int32)
-        if use_prop:
+        if use_prop and deep:
+            # key steps: full forward, refresh the deep-branch cache;
+            # non-key: shallow path on the CURRENT x_t + cached branch
+            eps, cache = jax.lax.cond(
+                i % stride == 0,
+                lambda args: encode_fn(args[0], args[1], i),
+                lambda args: (decode_fn(args[0], args[1], i, args[2]), args[2]),
+                (x, t_b, cache),
+            )
+            eps = eps.astype(jnp.float32)
+        elif use_prop:
             cache = jax.lax.cond(
                 i % stride == 0,
                 lambda args: encode_fn(*args[:2], i),
@@ -130,9 +152,11 @@ def ddim_sample(
     x0f = x_init.astype(jnp.float32)
     if use_prop:
         t0 = jnp.full((batch,), int(ts[0]), dtype=jnp.int32)
+        enc_shape = jax.eval_shape(encode_fn, x0f, t0, jnp.int32(0))
+        if deep:
+            enc_shape = enc_shape[1]  # (eps, cache) → cache
         cache0 = jax.tree_util.tree_map(
-            lambda s: jnp.zeros(s.shape, s.dtype),
-            jax.eval_shape(encode_fn, x0f, t0, jnp.int32(0)),
+            lambda s: jnp.zeros(s.shape, s.dtype), enc_shape
         )
     else:
         cache0 = jnp.zeros((), jnp.float32)  # placeholder carry leaf

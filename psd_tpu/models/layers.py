@@ -667,11 +667,19 @@ class GEGLUFeedForward(nn.Module):
 
 
 class BasicTransformerBlock(nn.Module):
-    """LN→self-attn→LN→cross-attn→LN→GEGLU-FF, all residual."""
+    """LN→self-attn→LN→cross-attn→LN→GEGLU-FF, all residual.
+
+    `tome`/`hw`: optional ToMe token merging (ops/tome.py) — the merge is
+    computed ONCE from the block input and applied around the configured
+    residual branches (self-attn always; cross-attn q / FF per spec),
+    exactly the ToMe-SD composition (arXiv:2303.17098). Inference-only and
+    off by default (tome.ratio=0 leaves this function byte-identical)."""
 
     num_heads: int
     mode: CrossAttnMode = CrossAttnMode()
     quant: str = "none"
+    tome: "object" = None  # ToMeSpec | None
+    hw: tuple | None = None  # (H, W) spatial extent of the token grid
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -679,28 +687,55 @@ class BasicTransformerBlock(nn.Module):
     def __call__(self, x, context, delta_scale=None):
         # LayerNorms fold into the attention QKV projections / FF GEGLU
         # kernels on TPU (ops/geglu.py); param tree matches nn.LayerNorm.
+        from ..core.mode import is_training
+
         C = x.shape[-1]
+        S = x.shape[1]
+        mi = None
+        if (
+            self.tome is not None
+            and self.hw is not None
+            and self.tome.active(S)
+            and not is_training()
+        ):
+            from ..ops.tome import build_merge, merge, unmerge
+
+            mi = build_merge(x, self.hw[0], self.hw[1], self.tome.r_count(S))
+
+        def branch(fn, t, merged):
+            if mi is None or not merged:
+                return fn(t)
+            return unmerge(fn(merge(t, mi)), mi)
+
         s1, b1 = LayerNormParams(name="norm1", param_dtype=self.param_dtype)(C)
-        x = x + Attention(self.num_heads, name="attn1", quant=self.quant,
-                          dtype=self.dtype,
-                          param_dtype=self.param_dtype)(
-            x, ln_scale=s1, ln_bias=b1)
+        attn1 = Attention(self.num_heads, name="attn1", quant=self.quant,
+                          dtype=self.dtype, param_dtype=self.param_dtype)
+        x = x + branch(lambda t: attn1(t, ln_scale=s1, ln_bias=b1), x, True)
+
         s2, b2 = LayerNormParams(name="norm2", param_dtype=self.param_dtype)(C)
-        x = x + Attention(
+        attn2 = Attention(
             self.num_heads,
             mode=self.mode,
             name="attn2",
             quant=self.quant,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
-        )(x, context=context, delta_scale=delta_scale,
-          ln_scale=s2, ln_bias=b2)
+        )
+        x = x + branch(
+            lambda t: attn2(t, context=context, delta_scale=delta_scale,
+                            ln_scale=s2, ln_bias=b2),
+            x, self.tome.merge_cross if mi is not None else False,
+        )
         # norm3 is folded into the FF's fused LN→GEGLU kernel on TPU
         s3, b3 = LayerNormParams(name="norm3", param_dtype=self.param_dtype)(
             x.shape[-1]
         )
-        x = x + GEGLUFeedForward(name="ff", quant=self.quant, dtype=self.dtype,
-                                 param_dtype=self.param_dtype)(x, s3, b3)
+        ff = GEGLUFeedForward(name="ff", quant=self.quant, dtype=self.dtype,
+                              param_dtype=self.param_dtype)
+        x = x + branch(
+            lambda t: ff(t, s3, b3), x,
+            self.tome.merge_mlp if mi is not None else False,
+        )
         return x
 
 
@@ -711,6 +746,7 @@ class Transformer2D(nn.Module):
     depth: int = 1
     mode: CrossAttnMode = CrossAttnMode()
     quant: str = "none"
+    tome: "object" = None  # ToMeSpec | None
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -771,6 +807,8 @@ class Transformer2D(nn.Module):
                 mode=self.mode,
                 name=f"transformer_blocks_{d}",
                 quant=self.quant,
+                tome=self.tome,
+                hw=(H, W),
                 dtype=self.dtype,
                 param_dtype=self.param_dtype,
             )(h, context, delta_scale)

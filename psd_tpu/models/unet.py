@@ -56,6 +56,13 @@ class UNetConfig:
     # "int8": W8A8 MXU inference path (big matmuls + ≤32² convs; quality-
     # gated, see ops/quant.py). Inference-only — keep "none" for training.
     quant: str = "none"
+    # ToMe token merging (arXiv:2303.17098) — quality-gated turbo lever,
+    # inference-only, applied at sites with >= tome_min_tokens (stage 0).
+    # 0.0 = off (exact path; the default). See ops/tome.py.
+    tome_ratio: float = 0.0
+    tome_min_tokens: int = 4096
+    tome_mlp: bool = False
+    tome_cross: bool = False
     remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -72,6 +79,17 @@ class UNetConfig:
         if where == "up":
             return "disease" if idx <= 1 else "anatomy"
         return "both"
+
+    @property
+    def tome_spec(self):
+        from ..ops.tome import ToMeSpec
+
+        return ToMeSpec(
+            ratio=self.tome_ratio,
+            min_tokens=self.tome_min_tokens,
+            merge_mlp=self.tome_mlp,
+            merge_cross=self.tome_cross,
+        )
 
     def attn_mode_for(self, where: str, idx: int = 0) -> CrossAttnMode:
         role = self.block_role(where, idx)
@@ -117,6 +135,16 @@ class UNet2DCondition(nn.Module):
       "encode" — down+mid only → (h_mid, skips tuple).
       "decode" — up+out from `cached` (h_mid, skips) with a FRESH timestep
                  embedding → eps. Never touches `sample`.
+
+    A second split implements DeepCache-style branch caching (arXiv:
+    2310.01407 — the deep feature entering the LAST up block drifts slowly
+    across adjacent timesteps, while the shallow path tracks x_t):
+      "deep"    — full forward that ALSO returns that deep feature:
+                  → (eps, deep).
+      "shallow" — conv_in → down block 0 → last up block from `cached`
+                  (the deep feature) → out. Runs the CURRENT x_t through
+                  the shallow path every step (unlike "decode", which
+                  never sees x_t) → eps.
     """
 
     config: UNetConfig
@@ -149,6 +177,7 @@ class UNet2DCondition(nn.Module):
         )
 
         ctx = encoder_hidden_states.astype(cfg.dtype)
+        tome = cfg.tome_spec if cfg.tome_ratio > 0.0 else None
         n_blocks = len(cfg.block_out_channels)
         if phase == "decode":
             assert cached is not None
@@ -161,8 +190,13 @@ class UNet2DCondition(nn.Module):
             )
 
             # --- down path ---
+            # "shallow" (DeepCache, arXiv:2310.01407): only down block 0 —
+            # its skips feed the last up block; the downsampler output is
+            # consumed deeper and is not needed
+            down_range = (0,) if phase == "shallow" else range(n_blocks)
             skips = [h]
-            for i, out_ch in enumerate(cfg.block_out_channels):
+            for i in down_range:
+                out_ch = cfg.block_out_channels[i]
                 has_attn = cfg.has_cross_attn[i]
                 mode = cfg.attn_mode_for("down", i)
                 for j in range(cfg.layers_per_block):
@@ -176,37 +210,51 @@ class UNet2DCondition(nn.Module):
                             depth=cfg.transformer_depth,
                             mode=mode,
                             quant=cfg.quant,
+                            tome=tome,
                             name=f"down_blocks_{i}_attentions_{j}",
                             **kw,
                         )(h, ctx, delta_scale)
                     skips.append(h)
-                if i < n_blocks - 1:
+                if i < n_blocks - 1 and phase != "shallow":
                     h = Downsample2D(out_ch, name=f"down_blocks_{i}_downsamplers_0", **kw)(h)
                     skips.append(h)
 
-            # --- mid ---
-            mid_ch = cfg.block_out_channels[-1]
-            h = ResBlock(mid_ch, name="mid_block_resnets_0", quant=cfg.quant,
-                         **kw)(h, temb)
-            h = AttnBlock(
-                cfg.num_heads,
-                depth=cfg.transformer_depth,
-                mode=cfg.attn_mode_for("mid"),
-                quant=cfg.quant,
-                name="mid_block_attentions_0",
-                **kw,
-            )(h, ctx, delta_scale)
-            h = ResBlock(mid_ch, name="mid_block_resnets_1", quant=cfg.quant,
-                         **kw)(h, temb)
-            if phase == "encode":
-                return h, tuple(skips)
+            if phase != "shallow":
+                # --- mid ---
+                mid_ch = cfg.block_out_channels[-1]
+                h = ResBlock(mid_ch, name="mid_block_resnets_0", quant=cfg.quant,
+                             **kw)(h, temb)
+                h = AttnBlock(
+                    cfg.num_heads,
+                    depth=cfg.transformer_depth,
+                    mode=cfg.attn_mode_for("mid"),
+                    quant=cfg.quant,
+                    tome=tome,
+                    name="mid_block_attentions_0",
+                    **kw,
+                )(h, ctx, delta_scale)
+                h = ResBlock(mid_ch, name="mid_block_resnets_1", quant=cfg.quant,
+                             **kw)(h, temb)
+                if phase == "encode":
+                    return h, tuple(skips)
 
         # --- up path ---
         rev_channels = tuple(reversed(cfg.block_out_channels))
         rev_attn = tuple(reversed(cfg.has_cross_attn))
-        for i, out_ch in enumerate(rev_channels):
+        deep_out = None
+        if phase == "shallow":
+            assert cached is not None
+            up_range = (n_blocks - 1,)
+            h = cached.astype(cfg.dtype)
+        else:
+            up_range = range(n_blocks)
+        for i in up_range:
+            out_ch = rev_channels[i]
             has_attn = rev_attn[i]
             mode = cfg.attn_mode_for("up", i)
+            if phase == "deep" and i == n_blocks - 1:
+                # input to the LAST up block — the DeepCache branch feature
+                deep_out = h
             for j in range(cfg.layers_per_block + 1):
                 skip = skips.pop()
                 # the skip join is a VIRTUAL concat: ResnetBlock2D computes
@@ -220,6 +268,7 @@ class UNet2DCondition(nn.Module):
                         depth=cfg.transformer_depth,
                         mode=mode,
                         quant=cfg.quant,
+                        tome=tome,
                         name=f"up_blocks_{i}_attentions_{j}",
                         **kw,
                     )(h, ctx, delta_scale)
@@ -231,6 +280,8 @@ class UNet2DCondition(nn.Module):
         h = nn.silu(h)
         h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
                     dtype=jnp.float32, param_dtype=cfg.param_dtype)(h.astype(jnp.float32))
+        if phase == "deep":
+            return h, deep_out
         return h
 
 

@@ -9,7 +9,8 @@ from ..diffusion.dadd import DADD, core_config_from
 from ..models.vae import VAEConfig
 
 
-def build_model(cfg: Config, dtype_str: str = "bf16") -> DADD:
+def build_model(cfg: Config, dtype_str: str = "bf16",
+                tome_ratio: float = 0.0) -> DADD:
     dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
     if cfg.model.extras.get("tiny", False):
         # smoke-test configuration: tiny UNet/VAE/CLIP (tests + CI)
@@ -35,7 +36,8 @@ def build_model(cfg: Config, dtype_str: str = "bf16") -> DADD:
         )
         return DADD(cfg, core_cfg=core_cfg, vae_cfg=tiny_vae_config(),
                     clip_cfg=tiny_clip_config(), dtype=jnp.float32)
-    core_cfg = core_config_from(cfg, remat=False, dtype=dtype)
+    core_cfg = core_config_from(cfg, remat=False, dtype=dtype,
+                                tome_ratio=tome_ratio)
     return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
 
 

@@ -64,6 +64,22 @@ def build_argparser() -> argparse.ArgumentParser:
                         "(baseline mode with --guidance-scale != 1); see "
                         "scripts/check_stride_quality.py for the measured "
                         "quality-vs-stride table")
+    p.add_argument("--cache-mode", type=str, default="encoder",
+                   choices=["encoder", "deep"],
+                   help="what propagates across non-key steps when "
+                        "--encoder-stride > 1: 'encoder' caches down+mid "
+                        "features (arXiv:2312.09608); 'deep' caches the "
+                        "last-up-block input and re-runs only the shallow "
+                        "path, so the current x_t still flows through every "
+                        "step (DeepCache, arXiv:2310.01407) — faster at "
+                        "equal stride")
+    p.add_argument("--tome-ratio", type=float, default=0.0,
+                   help="ToMe token merging at the 64x64 attention sites "
+                        "(arXiv:2303.17098): fraction of tokens merged "
+                        "before self-attention (0 = off/exact; 0.5 is the "
+                        "paper's quality-neutral point). Composes with "
+                        "--encoder-stride; see scripts/check_stride_quality"
+                        ".py for the measured quality table")
     return p
 
 
@@ -150,7 +166,7 @@ def main(argv=None) -> dict:
     steps = args.sampling_steps or cfg.diffusion.sampling_steps
     out_dir = Path(args.output_dir)
 
-    model = build_model(cfg, args.dtype)
+    model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio)
     core, vae_params, clip_params = load_params(
         model, args.checkpoint, args.seed, image_size, args.ema
     )
@@ -199,6 +215,7 @@ def main(argv=None) -> dict:
         shared_noise=True,
         eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
         encoder_stride=args.encoder_stride,
+        cache_mode=args.cache_mode,
     ))
     jax.block_until_ready(images)
     dt = time.perf_counter() - t0

@@ -12,7 +12,8 @@ from .models.unet import tiny_unet_config
 from .models.vae import tiny_vae_config
 
 
-def tiny_dadd(routing=True, purifier=True, plus=True, image_cond=True) -> DADD:
+def tiny_dadd(routing=True, purifier=True, plus=True, image_cond=True,
+              **unet_overrides) -> DADD:
     cfg = Config()
     cfg.dataset.image_size = 32
     cfg.diffusion.sampling_steps = 4
@@ -28,6 +29,7 @@ def tiny_dadd(routing=True, purifier=True, plus=True, image_cond=True) -> DADD:
             num_aoe_tokens=4,
             num_image_tokens=4,
             num_delta_tokens=4,
+            **unet_overrides,
         ),
         embedding_dim=32,
         conditioning_dim=32,

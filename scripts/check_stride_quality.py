@@ -1,25 +1,26 @@
-"""Encoder-propagation quality gate: stride-{2,3,4} vs exact (stride 1).
+"""Turbo-path quality gate: feature propagation × ToMe vs the exact path.
 
-Samples identical seed/conditioning at every encoder stride and reports,
-per stride, the final-LATENT relative error and decoded-image PSNR vs the
-stride-1 (mathematically exact) trajectory — the quality number the
-`--encoder-stride` turbo serving point ships with (same pattern as
+Samples identical seed/conditioning for every requested turbo variant and
+reports, per variant, the final-LATENT relative error and decoded-image
+PSNR vs the exact trajectory, plus measured sampling throughput — the
+quality table every turbo serving point ships with (same pattern as
 scripts/check_int8_quality.py; VERDICT r2 item 2).
 
-Technique: Faster Diffusion (arXiv:2312.09608) — the UNet's down+mid
-features change little between adjacent DDIM steps, so non-key steps re-run
-only the decoder on cached encoder features. Key steps are exact; the gate
-quantifies the non-key approximation end to end.
+Variants (comma list, --variants):
+  encN        encoder propagation stride N (Faster Diffusion, 2312.09608)
+  deepN       DeepCache branch caching interval N (2310.01407)
+  tomeR       ToMe token merging ratio R at the 64² sites (2303.17098)
+  tomeR+deepN / tomeR+encN   compositions
 
 CAVEAT (same as the int8 gate): with random weights the UNet's eps field is
 near-zero and smooth, so these numbers are an upper bound on quality — the
-encoder features genuinely change less between steps than a trained model's
+cached features genuinely change less between steps than a trained model's
 would. Re-run on trained weights the day they exist; until then the turbo
 numbers ship with THIS table attached.
 
 Run on TPU:
   python scripts/check_stride_quality.py [--steps 50] [--size 512] \
-      [--strides 2,3,4] [--out bench_stride_quality.json]
+      [--variants enc2,enc3,deep3,tome0.5+deep3] [--out table.json]
 """
 
 from __future__ import annotations
@@ -37,16 +38,34 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def parse_variant(tok: str) -> dict:
+    v = {"tome": 0.0, "stride": 1, "cache_mode": "encoder", "name": tok}
+    for part in tok.split("+"):
+        if part.startswith("tome"):
+            v["tome"] = float(part[4:])
+        elif part.startswith("enc"):
+            v["stride"] = int(part[3:])
+            v["cache_mode"] = "encoder"
+        elif part.startswith("deep"):
+            v["stride"] = int(part[4:])
+            v["cache_mode"] = "deep"
+        else:
+            raise SystemExit(f"unknown variant token: {part!r}")
+    return v
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
-    ap.add_argument("--strides", type=str, default="2,3,4")
+    ap.add_argument("--variants", type=str,
+                    default="enc2,enc3,deep2,deep3,deep4,tome0.5,"
+                            "tome0.5+deep3,tome0.5+deep4")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the table to this JSON file")
     args = ap.parse_args()
-    strides = [int(s) for s in args.strides.split(",")]
+    variants = [parse_variant(t) for t in args.variants.split(",")]
 
     from psd_tpu.core.config import Config
     from psd_tpu.diffusion.dadd import DADD, core_config_from
@@ -58,44 +77,57 @@ def main() -> None:
     rng = jax.random.PRNGKey(0)
     lat = args.size // 8
 
-    core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16)
-    model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=jnp.bfloat16))
-    params = fast_init(
-        model.core, {"params": rng, "noise": rng},
+    def bf16(tree):
+        return jax.tree_util.tree_map(
+            lambda x: x.astype(jnp.bfloat16)
+            if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+            tree,
+        )
+
+    models = {}
+
+    def get_model(tome: float) -> DADD:
+        if tome not in models:
+            core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16,
+                                        tome_ratio=tome)
+            models[tome] = DADD(cfg, core_cfg=core_cfg,
+                                vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+        return models[tome]
+
+    base_model = get_model(0.0)
+    core_cfg = base_model.core_cfg
+    params = bf16(fast_init(
+        base_model.core, {"params": rng, "noise": rng},
         jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32),
         jnp.zeros((1,)),
-        jnp.zeros((1, model.clip_cfg.num_positions, core_cfg.clip_hidden_dim)),
+        jnp.zeros((1, base_model.clip_cfg.num_positions,
+                   core_cfg.clip_hidden_dim)),
         0.0,
-    )
-    params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        params,
-    )
-    vae_params = jax.tree_util.tree_map(
-        lambda x: x.astype(jnp.bfloat16)
-        if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
-        fast_init(
-            model.vae, jax.random.PRNGKey(1),
-            jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
-            jax.random.PRNGKey(2),
-        ),
-    )
+    ))
+    vae_params = bf16(fast_init(
+        base_model.vae, jax.random.PRNGKey(1),
+        jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
+        jax.random.PRNGKey(2),
+    ))
     n_tok = 3 * core_cfg.num_aoe_tokens
     cond = jax.random.normal(rng, (args.batch, n_tok, 768), jnp.float32)
     checksum = jax.jit(lambda t: t.astype(jnp.float32).sum())
 
-    def run(stride):
+    def run(v):
         """(final latents, decoded images, best s/batch over 3 timed reps)."""
+        model = get_model(v["tome"])
+
         def lat_fn(key):
             return model.sample(
                 params, cond, key, image_size=args.size,
                 sampling_steps=args.steps, steer_scale=1.0,
-                shared_noise=False, encoder_stride=stride,
+                shared_noise=False, encoder_stride=v["stride"],
+                cache_mode=v["cache_mode"],
             )
         latents = np.asarray(lat_fn(jax.random.PRNGKey(7)), np.float64)
         imgs = np.asarray(
-            model.decode_latents(vae_params, jnp.asarray(latents, jnp.float32)),
+            base_model.decode_latents(vae_params,
+                                      jnp.asarray(latents, jnp.float32)),
             np.float64,
         )
         best = float("inf")
@@ -106,24 +138,25 @@ def main() -> None:
             best = min(best, time.perf_counter() - t0)
         return latents, imgs, best
 
-    lat1, img1, t1 = run(1)
+    lat1, img1, t1 = run({"tome": 0.0, "stride": 1, "cache_mode": "encoder"})
     rows = []
-    for s in strides:
-        lat_s, img_s, t_s = run(s)
+    for v in variants:
+        lat_s, img_s, t_s = run(v)
         rel = float(np.linalg.norm(lat_s - lat1) / max(np.linalg.norm(lat1), 1e-12))
         mse = float(np.mean((img_s - img1) ** 2))
         psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
         rows.append({
-            "stride": s,
+            "variant": v["name"],
             "latent_rel_error": round(rel, 6),
             "psnr_vs_exact_db": round(psnr, 2),
             "s_per_batch": round(t_s, 4),
             "img_per_s_ex_vae": round(args.batch / t_s, 4),
             "speedup_vs_exact": round(t1 / t_s, 4),
         })
+        print(json.dumps(rows[-1]))
 
     result = {
-        "metric": "encoder_propagation_quality_vs_stride",
+        "metric": "turbo_quality_vs_exact",
         "exact_s_per_batch": round(t1, 4),
         "exact_img_per_s_ex_vae": round(args.batch / t1, 4),
         "steps": args.steps,
