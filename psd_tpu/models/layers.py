@@ -95,6 +95,35 @@ class Conv3x3(nn.Module):
         return out + bias.astype(out.dtype)
 
 
+class FinalConv(nn.Module):
+    """3×3 conv with configurable operand dtype and fp32 accumulation.
+
+    Used for the UNet/VAE output convs (4/8/3-channel outputs): N pads to
+    128 MXU lanes whatever the dtype, but fp32 OPERANDS quarter the MXU
+    rate. Compute-dtype operands + fp32 accumulation/output keep the
+    precision that matters (the inputs are bf16-rounded upstream anyway).
+    nn.Conv-compatible param tree (kernel HWIO + bias)."""
+
+    features: int
+    dtype: jnp.dtype = jnp.bfloat16
+    param_dtype: jnp.dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param(
+            "kernel", nn.initializers.lecun_normal(),
+            (3, 3, x.shape[-1], self.features), self.param_dtype,
+        )
+        bias = self.param("bias", nn.initializers.zeros, (self.features,),
+                          self.param_dtype)
+        out = jax.lax.conv_general_dilated(
+            x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
+            [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        )
+        return out + bias.astype(jnp.float32)
+
+
 class ResnetBlock2D(nn.Module):
     """GN→SiLU→conv → +temb → GN→SiLU→conv → +shortcut (diffusers ResnetBlock2D).
 

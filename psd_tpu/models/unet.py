@@ -26,6 +26,7 @@ from ..ops.norms import GroupNorm
 from .layers import (
     CrossAttnMode,
     Downsample2D,
+    FinalConv,
     ResnetBlock2D,
     TimestepEmbedding,
     Transformer2D,
@@ -56,9 +57,11 @@ class UNetConfig:
     # "int8": W8A8 MXU inference path (big matmuls + ≤32² convs; quality-
     # gated, see ops/quant.py). Inference-only — keep "none" for training.
     quant: str = "none"
-    # ToMe token merging (arXiv:2303.17098) — quality-gated turbo lever,
-    # inference-only, applied at sites with >= tome_min_tokens (stage 0).
-    # 0.0 = off (exact path; the default). See ops/tome.py.
+    # ToMe token merging (regional variant of arXiv:2303.17098) — quality-
+    # gated turbo lever, inference-only, applied at sites with >=
+    # tome_min_tokens (stage 0). Ratio quantizes to m/4 (0.25/0.5/0.75 =
+    # merge m of the 3 src tokens per 2x2 region); 0.0 = off (exact path;
+    # the default). See ops/tome.py.
     tome_ratio: float = 0.0
     tome_min_tokens: int = 4096
     tome_mlp: bool = False
@@ -278,8 +281,11 @@ class UNet2DCondition(nn.Module):
         # --- out ---
         h = GroupNorm(num_groups=32, epsilon=1e-5, name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
-        h = nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
-                    dtype=jnp.float32, param_dtype=cfg.param_dtype)(h.astype(jnp.float32))
+        # compute-dtype operands, fp32 accumulation/output: the 4-channel
+        # output pads to 128 MXU lanes either way; fp32 operands would only
+        # quarter the rate (FinalConv docstring)
+        h = FinalConv(cfg.out_channels, name="conv_out",
+                      dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
         if phase == "deep":
             return h, deep_out
         return h

@@ -20,7 +20,7 @@ import jax
 import jax.numpy as jnp
 
 from ..ops.norms import GroupNorm
-from .layers import ResnetBlock2D, Upsample2D
+from .layers import FinalConv, ResnetBlock2D, Upsample2D
 
 
 @dataclass(frozen=True)
@@ -32,6 +32,12 @@ class VAEConfig:
     layers_per_block: int = 2
     norm_groups: int = 32
     scaling_factor: float = 0.18215
+    # fp32 OPERANDS for the final encoder/decoder 3×3 convs (legacy/A-B
+    # knob). Off by default: their 3/8-channel outputs pad to 128 lanes
+    # either way, and fp32 operands quarter the MXU rate; accumulation is
+    # fp32 regardless (FinalConv), and the inputs are already bf16-rounded
+    # upstream, so operand precision costs pixels nothing measurable.
+    final_conv_fp32: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -103,10 +109,11 @@ class Encoder(nn.Module):
         h = GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
                          name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
-        return nn.Conv(2 * cfg.latent_channels, (3, 3), padding=1, name="conv_out",
-                       dtype=jnp.float32, param_dtype=cfg.param_dtype)(
-            h.astype(jnp.float32)
-        )
+        return FinalConv(
+            2 * cfg.latent_channels, name="conv_out",
+            dtype=jnp.float32 if cfg.final_conv_fp32 else cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(h)
 
 
 class Decoder(nn.Module):
@@ -130,10 +137,11 @@ class Decoder(nn.Module):
         h = GroupNorm(num_groups=cfg.norm_groups, epsilon=1e-6,
                          name="conv_norm_out", **kw)(h)
         h = nn.silu(h)
-        return nn.Conv(cfg.out_channels, (3, 3), padding=1, name="conv_out",
-                       dtype=jnp.float32, param_dtype=cfg.param_dtype)(
-            h.astype(jnp.float32)
-        )
+        return FinalConv(
+            cfg.out_channels, name="conv_out",
+            dtype=jnp.float32 if cfg.final_conv_fp32 else cfg.dtype,
+            param_dtype=cfg.param_dtype,
+        )(h)
 
 
 class AutoencoderKL(nn.Module):

@@ -29,8 +29,9 @@ REPS = 5
 ROUNDS = 6
 
 
-def build(B, size):
-    vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16))
+def build(B, size, final_conv_fp32=False):
+    vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16,
+                                  final_conv_fp32=final_conv_fp32))
     lat = size // 8
     z = jax.random.normal(jax.random.PRNGKey(0), (B, lat, lat, 4), jnp.float32)
     params = fast_init(
@@ -64,17 +65,22 @@ def main():
     enable_compile_cache()
     print(f"devices: {jax.devices()} B={args.batch} size={args.size}")
 
-    fn, p, z = build(args.batch, args.size)
-    ts = []
+    variants = {
+        "decode (bf16 final conv)": build(args.batch, args.size, False),
+        "decode (fp32 final conv)": build(args.batch, args.size, True),
+    }
+    times = {n: [] for n in variants}
     for _ in range(ROUNDS):
-        t0 = time.perf_counter()
-        s = np.asarray(fn(p, z))
-        assert np.isfinite(s)
-        ts.append(time.perf_counter() - t0)
+        for name, (fn, p, z) in variants.items():
+            t0 = time.perf_counter()
+            s = np.asarray(fn(p, z))
+            assert np.isfinite(s)
+            times[name].append(time.perf_counter() - t0)
 
-    ms = min(ts) / REPS * 1e3
-    print(f"  decode {ms:8.2f} ms/batch "
-          f"({args.batch / (ms / 1e3):.2f} img/s decode-only)")
+    for name, ts in times.items():
+        ms = min(ts) / REPS * 1e3
+        print(f"  {name} {ms:8.2f} ms/batch "
+              f"({args.batch / (ms / 1e3):.2f} img/s decode-only)")
 
 
 if __name__ == "__main__":
