@@ -197,7 +197,8 @@ class DADDCore(nn.Module):
 
 def core_config_from(cfg: Config, remat: Optional[bool] = None,
                      dtype=jnp.bfloat16, quant: str = "none",
-                     tome_ratio: float = 0.0) -> DADDCoreConfig:
+                     tome_ratio: float = 0.0,
+                     tome_mode: str = "branch") -> DADDCoreConfig:
     """Build a DADDCoreConfig from a reference-format Config."""
     m = cfg.model
     attn_mode = "split3" if m.use_routing_gates else "split2"
@@ -218,6 +219,7 @@ def core_config_from(cfg: Config, remat: Optional[bool] = None,
         remat=cfg.training.gradient_checkpointing if remat is None else remat,
         quant=quant,
         tome_ratio=tome_ratio,
+        tome_mode=tome_mode,
         dtype=dtype,
     )
     return DADDCoreConfig(

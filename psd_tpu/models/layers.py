@@ -731,8 +731,14 @@ class BasicTransformerBlock(nn.Module):
 
             mi = build_merge(x, self.hw[0], self.hw[1], self.tome.r_count(S))
 
+        block_resident = mi is not None and self.tome.mode == "block"
+        if block_resident:
+            # ONE merge for the whole block: every branch below sees the
+            # merged length; the single unmerge happens at the end
+            x = merge(x, mi)
+
         def branch(fn, t, merged):
-            if mi is None or not merged:
+            if mi is None or block_resident or not merged:
                 return fn(t)
             return unmerge(fn(merge(t, mi)), mi)
 
@@ -765,6 +771,11 @@ class BasicTransformerBlock(nn.Module):
             lambda t: ff(t, s3, b3), x,
             self.tome.merge_mlp if mi is not None else False,
         )
+        if block_resident:
+            # kept tokens carry their own residual stream through the whole
+            # block; merged tokens take their region dst's output (original-
+            # ViT-ToMe semantics) — that substitution is the approximation.
+            x = unmerge(x, mi)
         return x
 
 

@@ -66,6 +66,9 @@ class UNetConfig:
     tome_min_tokens: int = 4096
     tome_mlp: bool = False
     tome_cross: bool = False
+    # "branch" (ToMe-SD per-branch) | "block" (block-resident: one merge/
+    # unmerge per transformer block, everything inside at merged length)
+    tome_mode: str = "branch"
     remat: bool = False
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
@@ -92,6 +95,7 @@ class UNetConfig:
             min_tokens=self.tome_min_tokens,
             merge_mlp=self.tome_mlp,
             merge_cross=self.tome_cross,
+            mode=self.tome_mode,
         )
 
     def attn_mode_for(self, where: str, idx: int = 0) -> CrossAttnMode:

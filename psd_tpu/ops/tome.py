@@ -47,6 +47,16 @@ class ToMeSpec:
     min_tokens: int = 4096  # apply only at sites with N >= this (stage 0)
     merge_mlp: bool = False  # also merge around the GEGLU feed-forward
     merge_cross: bool = False  # also merge the cross-attention query side
+    # "branch": ToMe-SD composition — merge/unmerge around each configured
+    #   residual branch separately (kept tokens keep their own residual
+    #   stream; the weakest approximation).
+    # "block": block-resident — ONE merge at transformer-block entry, the
+    #   whole block (self-attn, cross-attn, FF, the LNs) runs at the merged
+    #   length, ONE unmerge at exit. Stronger approximation (merged tokens
+    #   adopt their region dst's residual stream for the whole block, as in
+    #   the original ViT ToMe) but 3× fewer merge/unmerge round trips and
+    #   every branch — not just the wrapped ones — gets the short length.
+    mode: str = "branch"
 
     def r_count(self, n_tokens: int) -> int:
         """Merged-token count: ratio quantized to m/4, m ∈ {1, 2, 3}."""

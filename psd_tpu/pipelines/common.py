@@ -10,7 +10,7 @@ from ..models.vae import VAEConfig
 
 
 def build_model(cfg: Config, dtype_str: str = "bf16",
-                tome_ratio: float = 0.0) -> DADD:
+                tome_ratio: float = 0.0, tome_mode: str = "branch") -> DADD:
     dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
     if cfg.model.extras.get("tiny", False):
         # smoke-test configuration: tiny UNet/VAE/CLIP (tests + CI)
@@ -37,7 +37,7 @@ def build_model(cfg: Config, dtype_str: str = "bf16",
         return DADD(cfg, core_cfg=core_cfg, vae_cfg=tiny_vae_config(),
                     clip_cfg=tiny_clip_config(), dtype=jnp.float32)
     core_cfg = core_config_from(cfg, remat=False, dtype=dtype,
-                                tome_ratio=tome_ratio)
+                                tome_ratio=tome_ratio, tome_mode=tome_mode)
     return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
 
 

@@ -80,6 +80,12 @@ def build_argparser() -> argparse.ArgumentParser:
                         "paper's quality-neutral point). Composes with "
                         "--encoder-stride; see scripts/check_stride_quality"
                         ".py for the measured quality table")
+    p.add_argument("--tome-mode", type=str, default="branch",
+                   choices=["branch", "block"],
+                   help="'branch': ToMe-SD per-branch merge/unmerge (weakest "
+                        "approximation); 'block': one merge per transformer "
+                        "block — the whole block runs at the merged length "
+                        "(faster, slightly stronger approximation)")
     return p
 
 
@@ -166,7 +172,8 @@ def main(argv=None) -> dict:
     steps = args.sampling_steps or cfg.diffusion.sampling_steps
     out_dir = Path(args.output_dir)
 
-    model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio)
+    model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
+                        tome_mode=args.tome_mode)
     core, vae_params, clip_params = load_params(
         model, args.checkpoint, args.seed, image_size, args.ema
     )

