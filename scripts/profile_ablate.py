@@ -37,8 +37,14 @@ def _sync_time(fn_jitted, *args, iters=3):
     return float(np.median(ts))
 
 
+PHASE = "full"  # "full" | "shallow" (DeepCache non-key step)
+TOME = 0.0
+TOME_MODE = "branch"
+
+
 def time_unet(B, reps=10):
-    cfg = sd14_unet_config(attn_mode="split3")
+    cfg = sd14_unet_config(attn_mode="split3", tome_ratio=TOME,
+                           tome_mode=TOME_MODE)
     unet = UNet2DCondition(cfg)
     lat = jnp.zeros((1, 64, 64, 4), jnp.bfloat16)
     t0 = jnp.zeros((1,), jnp.int32)
@@ -51,11 +57,25 @@ def time_unet(B, reps=10):
     tt = jnp.full((B,), 500, jnp.int32)
     c = jax.random.normal(jax.random.PRNGKey(2), (B, 48, 768)).astype(jnp.bfloat16)
 
-    def loop(p, x, tt, c):
-        def body(carry, _):
-            return unet.apply(p, carry, tt, c, 0.5).astype(carry.dtype), None
-        out, _ = jax.lax.scan(body, x, None, length=reps)
-        return out
+    if PHASE == "shallow":
+        # the DeepCache branch feature: input to the LAST up block
+        ch = cfg.block_out_channels[1]  # 640 after up block 2's upsampler
+        cache = jax.random.normal(
+            jax.random.PRNGKey(3), (B, 64, 64, ch)).astype(jnp.bfloat16)
+
+        def loop(p, x, tt, c):
+            def body(carry, _):
+                out = unet.apply(p, carry, tt, c, 0.5, phase="shallow",
+                                 cached=cache)
+                return out.astype(carry.dtype), None
+            out, _ = jax.lax.scan(body, x, None, length=reps)
+            return out
+    else:
+        def loop(p, x, tt, c):
+            def body(carry, _):
+                return unet.apply(p, carry, tt, c, 0.5).astype(carry.dtype), None
+            out, _ = jax.lax.scan(body, x, None, length=reps)
+            return out
 
     return _sync_time(jax.jit(loop), params, x, tt, c) / reps
 
@@ -82,7 +102,15 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--variants", default="full,noself,nocross,noff,notrans,nores")
+    ap.add_argument("--phase", default="full", choices=["full", "shallow"],
+                    help="'shallow' profiles the DeepCache non-key step "
+                         "(conv_in -> down0 -> last up block -> out)")
+    ap.add_argument("--tome", type=float, default=0.0)
+    ap.add_argument("--tome-mode", default="branch",
+                    choices=["branch", "block"])
     args = ap.parse_args()
+    global PHASE, TOME, TOME_MODE
+    PHASE, TOME, TOME_MODE = args.phase, args.tome, args.tome_mode
     enable_compile_cache()
     print(f"devices: {jax.devices()} batch {args.batch}")
     B = args.batch
