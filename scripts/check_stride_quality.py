@@ -66,8 +66,8 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--variants", type=str,
-                    default="enc2,enc3,deep2,deep3,deep4,tome0.5,"
-                            "tome0.5+deep3,tome0.5+deep4")
+                    default="enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,"
+                            "tome0.5+deep5,tomeb0.5+deep5,tomeb0.5+deep6")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the table to this JSON file")
     args = ap.parse_args()
