@@ -42,6 +42,8 @@ class GenerationServer:
         max_batch: int = 8,
         max_wait_s: float = 0.05,
         mesh=None,
+        encoder_stride: int = 1,
+        cache_mode: str = "encoder",
     ):
         self.model = model
         self.core = core_params
@@ -52,6 +54,11 @@ class GenerationServer:
         self.max_batch = max_batch
         self.max_wait_s = max_wait_s
         self.mesh = mesh
+        # turbo serving (opt-in, quality-gated — docs/parity.md): feature
+        # propagation across non-key steps; ToMe comes in via `model`'s
+        # UNetConfig.tome_* (build_model(tome_ratio=..., tome_mode=...))
+        self.encoder_stride = encoder_stride
+        self.cache_mode = cache_mode
         self._q: "queue.Queue[Optional[GenRequest]]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -124,6 +131,7 @@ class GenerationServer:
             self.core, cond, key,
             image_size=self.image_size, sampling_steps=self.steps,
             steer_scale=self.steer, shared_noise=False, mesh=self.mesh,
+            encoder_stride=self.encoder_stride, cache_mode=self.cache_mode,
         )
         imgs = np.asarray(self.model.decode_latents(self.vae, lat))
         return imgs[:n]
