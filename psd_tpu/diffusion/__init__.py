@@ -1,5 +1,5 @@
 from .schedule import NoiseSchedule, ddim_timesteps
-from .sampler import SamplerConfig, cfg_eps_fn, ddim_sample
+from .sampler import SamplerConfig, cfg_eps_fn, ddim_sample, dpm_sample
 from .dadd import DADD, DADDCore, DADDCoreConfig, core_config_from
 
 __all__ = [
@@ -8,6 +8,7 @@ __all__ = [
     "SamplerConfig",
     "cfg_eps_fn",
     "ddim_sample",
+    "dpm_sample",
     "DADD",
     "DADDCore",
     "DADDCoreConfig",

@@ -37,7 +37,7 @@ from ..core.config import Config
 from ..models.clip import CLIPVisionConfig, CLIPVisionTower, clip_vit_l14_config
 from ..models.unet import UNetConfig, UNet2DCondition
 from ..models.vae import AutoencoderKL, VAEConfig, sample_gaussian
-from .sampler import SamplerConfig, cfg_eps_fn, ddim_sample
+from .sampler import SamplerConfig, cfg_eps_fn, ddim_sample, dpm_sample
 from .schedule import NoiseSchedule
 
 
@@ -475,6 +475,7 @@ class DADD:
         do_cfg: bool,
         encoder_stride: int = 1,
         cache_mode: str = "encoder",
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         B = cond.shape[0]
         lat = image_size // self.spatial_factor
@@ -527,7 +528,11 @@ class DADD:
                         method=self.core.eps_decode,
                     )
 
-        return ddim_sample(
+        # "dpm" = DPM-Solver++(2M), beyond-reference (deterministic; eta
+        # ignored) — the 20-25-step serving operating point. "ddim" is the
+        # reference-exact default.
+        sample_fn = {"ddim": ddim_sample, "dpm": dpm_sample}[sampler]
+        return sample_fn(
             eps_fn,
             x0,
             self.schedule,
@@ -575,6 +580,7 @@ class DADD:
         eta_key: Optional[jax.Array] = None,
         encoder_stride: int = 1,
         cache_mode: str = "encoder",
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """sample + VAE decode as ONE jitted program → images in [0,1].
 
@@ -585,7 +591,8 @@ class DADD:
         do_cfg = cond_uncond is not None
         static = dict(image_size=image_size, steps=steps, eta=eta,
                       shared_noise=shared_noise, do_cfg=do_cfg,
-                      encoder_stride=encoder_stride, cache_mode=cache_mode)
+                      encoder_stride=encoder_stride, cache_mode=cache_mode,
+                      sampler=sampler)
         from ..core.mode import is_training
 
         cache_key = ("generate",) + tuple(sorted(static.items())) + (is_training(),)
@@ -627,6 +634,7 @@ class DADD:
         mesh=None,
         encoder_stride: int = 1,
         cache_mode: str = "encoder",
+        sampler: str = "ddim",
     ) -> jnp.ndarray:
         """DDIM sampling; returns scaled latents (B, h, w, 4).
 
@@ -649,6 +657,7 @@ class DADD:
             do_cfg=do_cfg,
             encoder_stride=encoder_stride,
             cache_mode=cache_mode,
+            sampler=sampler,
             dp_sharded=mesh is not None,
         )
         uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)

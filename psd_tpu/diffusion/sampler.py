@@ -170,6 +170,116 @@ def ddim_sample(
     return x_final
 
 
+def dpm_sample(
+    eps_fn: EpsFn,
+    x_init: jnp.ndarray,
+    schedule: NoiseSchedule,
+    cfg: SamplerConfig,
+    key: Optional[jax.Array] = None,
+    encode_fn=None,
+    decode_fn=None,
+) -> jnp.ndarray:
+    """DPM-Solver++(2M) (arXiv:2211.01095, Algorithm 2) as ONE `lax.scan`.
+
+    Beyond-reference sampler (the reference ships DDIM only): a second-order
+    multistep ODE solver in x0 ("data-prediction") parameterization — the
+    accepted quality-neutral operating point is 20-25 steps where DDIM wants
+    50. Deterministic (eta is ignored); the same x0 clamp as the DDIM path
+    applies before each update. Composes with feature propagation /
+    DeepCache / ToMe exactly like ddim_sample (same encode/decode split).
+
+    Update (data-prediction, 2M):
+        h_i   = λ(t_i) − λ(t_{i−1}),  λ = log(α/σ)
+        r_i   = h_{i−1} / h_i
+        D_i   = (1 + 1/(2 r_i))·x0_i − (1/(2 r_i))·x0_{i−1}   (first step: x0_i)
+        x_i   = (σ_i/σ_{i−1})·x_{i−1} − α_i·(e^{−h_i} − 1)·D_i
+    """
+    steps = cfg.sampling_steps
+    ts = ddim_timesteps(schedule.num_train_timesteps, steps)
+    acp = jnp.asarray(schedule.alphas_cumprod, dtype=jnp.float32)
+
+    t_arr = jnp.asarray(ts, dtype=jnp.int32)  # t_i (current model eval)
+    t_prev_arr = jnp.asarray(
+        np.concatenate([ts[1:], ts[-1:]]), dtype=jnp.int32
+    )  # t_{i+1} — the point each update lands on
+
+    batch = x_init.shape[0]
+    stride = cfg.encoder_stride
+    use_prop = stride > 1
+    if use_prop and (encode_fn is None or decode_fn is None):
+        raise ValueError("encoder_stride > 1 requires encoder/decode fns")
+    deep = cfg.cache_mode == "deep"
+
+    def lam(a):  # λ = log(α/σ) = 0.5·log(acp/(1−acp))
+        return 0.5 * (jnp.log(a) - jnp.log1p(-a))
+
+    def step(carry, scan_in):
+        x, x0_prev, h_prev, cache = carry
+        i, t, t_next, _ = scan_in
+        t_b = jnp.full((batch,), t, dtype=jnp.int32)
+        is_key = (i % stride == 0) | (i == steps - 1)
+        if use_prop and deep:
+            eps, cache = jax.lax.cond(
+                is_key,
+                lambda args: encode_fn(args[0], args[1], i),
+                lambda args: (decode_fn(args[0], args[1], i, args[2]), args[2]),
+                (x, t_b, cache),
+            )
+            eps = eps.astype(jnp.float32)
+        elif use_prop:
+            cache = jax.lax.cond(
+                is_key,
+                lambda args: encode_fn(*args[:2], i),
+                lambda args: args[2],
+                (x, t_b, cache),
+            )
+            eps = decode_fn(t_b, i, cache).astype(jnp.float32)
+        else:
+            eps = eps_fn(x, t_b, i).astype(jnp.float32)
+
+        a_t = acp[t]
+        alpha_t, sigma_t = jnp.sqrt(a_t), jnp.sqrt(1.0 - a_t)
+        x0 = (x - sigma_t * eps) / alpha_t
+        x0 = jnp.clip(x0, -cfg.x0_clip, cfg.x0_clip)
+
+        a_n = acp[t_next]
+        alpha_n, sigma_n = jnp.sqrt(a_n), jnp.sqrt(1.0 - a_n)
+        h = lam(a_n) - lam(a_t)  # > 0 (noise decreases)
+
+        # 2M correction: blend with the previous x0 prediction. The first
+        # step (h_prev = 0) falls back to first order (DPM-Solver++(1) ≡
+        # DDIM's x0-form update).
+        r = h_prev / h
+        c = jnp.where(h_prev > 0.0, 1.0 / (2.0 * r), 0.0)
+        d = (1.0 + c) * x0 - c * x0_prev
+
+        x_next = (sigma_n / sigma_t) * x - alpha_n * jnp.expm1(-h) * d
+
+        is_last = i == steps - 1
+        x_out = jnp.where(is_last, x0, x_next)
+        return (x_out, x0, jnp.where(is_last, h_prev, h), cache), None
+
+    idx = jnp.arange(steps, dtype=jnp.int32)
+    x0f = x_init.astype(jnp.float32)
+    if use_prop:
+        t0 = jnp.full((batch,), int(ts[0]), dtype=jnp.int32)
+        enc_shape = jax.eval_shape(encode_fn, x0f, t0, jnp.int32(0))
+        if deep:
+            enc_shape = enc_shape[1]
+        cache0 = jax.tree_util.tree_map(
+            lambda s: jnp.zeros(s.shape, s.dtype), enc_shape
+        )
+    else:
+        cache0 = jnp.zeros((), jnp.float32)
+    keys = jnp.zeros((steps, 2), dtype=jnp.uint32)  # unused (deterministic)
+    (x_final, _, _, _), _ = jax.lax.scan(
+        step,
+        (x0f, jnp.zeros_like(x0f), jnp.float32(0.0), cache0),
+        (idx, t_arr, t_prev_arr, keys),
+    )
+    return x_final
+
+
 def cfg_eps_fn(
     raw_eps_fn: Callable[[jnp.ndarray, jnp.ndarray, jnp.ndarray, jnp.ndarray], jnp.ndarray],
     embed_cond: jnp.ndarray,

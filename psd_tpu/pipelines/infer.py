@@ -80,6 +80,13 @@ def build_argparser() -> argparse.ArgumentParser:
                         "paper's quality-neutral point). Composes with "
                         "--encoder-stride; see scripts/check_stride_quality"
                         ".py for the measured quality table")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm"],
+                   help="'ddim' is reference-exact; 'dpm' = DPM-Solver++(2M) "
+                        "(arXiv:2211.01095), a 2nd-order ODE solver whose "
+                        "accepted quality-neutral point is 20-25 steps where "
+                        "DDIM wants 50 (deterministic; --eta ignored). "
+                        "Composes with the propagation/ToMe turbo levers")
     p.add_argument("--tome-mode", type=str, default="branch",
                    choices=["branch", "block"],
                    help="'branch': ToMe-SD per-branch merge/unmerge (weakest "
@@ -223,6 +230,7 @@ def main(argv=None) -> dict:
         eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
         encoder_stride=args.encoder_stride,
         cache_mode=args.cache_mode,
+        sampler=args.sampler,
     ))
     jax.block_until_ready(images)
     dt = time.perf_counter() - t0

@@ -44,6 +44,7 @@ class GenerationServer:
         mesh=None,
         encoder_stride: int = 1,
         cache_mode: str = "encoder",
+        sampler: str = "ddim",
     ):
         self.model = model
         self.core = core_params
@@ -59,6 +60,8 @@ class GenerationServer:
         # UNetConfig.tome_* (build_model(tome_ratio=..., tome_mode=...))
         self.encoder_stride = encoder_stride
         self.cache_mode = cache_mode
+        # "dpm" = DPM-Solver++(2M); pair with sampling_steps 20-25
+        self.sampler = sampler
         self._q: "queue.Queue[Optional[GenRequest]]" = queue.Queue()
         self._stop = threading.Event()
         self._worker = threading.Thread(target=self._run, daemon=True)
@@ -132,6 +135,7 @@ class GenerationServer:
             image_size=self.image_size, sampling_steps=self.steps,
             steer_scale=self.steer, shared_noise=False, mesh=self.mesh,
             encoder_stride=self.encoder_stride, cache_mode=self.cache_mode,
+            sampler=self.sampler,
         )
         imgs = np.asarray(self.model.decode_latents(self.vae, lat))
         return imgs[:n]

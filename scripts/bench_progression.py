@@ -84,13 +84,16 @@ def main() -> None:
         times.append(time.perf_counter() - t0)
 
     p50 = float(np.percentile(times, 50))
-    print(json.dumps({
+    result = {
         "metric": "p50_latency_13step_mes_progression_s",
         "value": round(p50, 4),
         "unit": "s",
         "image_size": IMAGE_SIZE,
         "sampling_steps": STEPS,
-    }))
+    }
+    print(json.dumps(result))
+    if len(sys.argv) > 1 and sys.argv[1] == "--out":
+        Path(sys.argv[2]).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

@@ -34,6 +34,8 @@ def main(argv=None):
     p.add_argument("--batch", type=int, default=8)
     p.add_argument("--image-size", type=int, default=256)
     p.add_argument("--iters", type=int, default=5)
+    p.add_argument("--out", type=str, default=None,
+                   help="also write the result JSON to this file")
     args = p.parse_args(argv)
 
     enable_compile_cache()
@@ -76,13 +78,17 @@ def main(argv=None):
         _ = float(metrics["loss"])  # scalar sync each step
         times.append(time.perf_counter() - t0)
     dt = float(np.median(times))
-    print(json.dumps({
+    result = {
         "metric": f"train_imgs_per_sec_per_chip_{args.image_size}px",
         "value": round(B / dt, 4),
         "unit": "img/s",
         "step_seconds": round(dt, 4),
         "loss0": round(loss0, 4),
-    }))
+    }
+    print(json.dumps(result))
+    if args.out:
+        from pathlib import Path
+        Path(args.out).write_text(json.dumps(result, indent=1))
 
 
 if __name__ == "__main__":

@@ -12,7 +12,10 @@ Variants (comma list, --variants):
   tomeR       ToMe token merging ratio R at the 64² sites (2303.17098)
   tomebR      block-resident ToMe (one merge per transformer block; the
               whole block runs merged — faster, stronger approximation)
-  tomeR+deepN / tomeR+encN / tomebR+deepN   compositions
+  dpmN        DPM-Solver++(2M) sampler at N steps (2211.01095) — compared
+              against the SAME exact baseline (--steps DDIM), so the table
+              answers "what do I lose cutting 50 DDIM steps to N DPM steps"
+  tomeR+deepN / tomeR+encN / tomebR+deepN / dpmN+tomebR+deepK  compositions
 
 CAVEAT (same as the int8 gate): with random weights the UNet's eps field is
 near-zero and smooth, so these numbers are an upper bound on quality — the
@@ -42,9 +45,13 @@ import numpy as np
 
 def parse_variant(tok: str) -> dict:
     v = {"tome": 0.0, "tome_mode": "branch", "stride": 1,
-         "cache_mode": "encoder", "name": tok}
+         "cache_mode": "encoder", "sampler": "ddim", "steps": None,
+         "name": tok}
     for part in tok.split("+"):
-        if part.startswith("tomeb"):
+        if part.startswith("dpm"):
+            v["sampler"] = "dpm"
+            v["steps"] = int(part[3:])
+        elif part.startswith("tomeb"):
             v["tome"] = float(part[5:])
             v["tome_mode"] = "block"
         elif part.startswith("tome"):
@@ -67,7 +74,8 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--variants", type=str,
                     default="enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,"
-                            "tome0.5+deep5,tomeb0.5+deep5,tomeb0.5+deep6")
+                            "tome0.5+deep5,tomeb0.5+deep5,tomeb0.5+deep6,"
+                            "dpm25,dpm20,dpm25+tomeb0.5+deep5")
     ap.add_argument("--out", type=str, default=None,
                     help="also write the table to this JSON file")
     args = ap.parse_args()
@@ -127,9 +135,11 @@ def main() -> None:
         def lat_fn(key):
             return model.sample(
                 params, cond, key, image_size=args.size,
-                sampling_steps=args.steps, steer_scale=1.0,
+                sampling_steps=v.get("steps") or args.steps,
+                steer_scale=1.0,
                 shared_noise=False, encoder_stride=v["stride"],
                 cache_mode=v["cache_mode"],
+                sampler=v.get("sampler", "ddim"),
             )
         latents = np.asarray(lat_fn(jax.random.PRNGKey(7)), np.float64)
         imgs = np.asarray(

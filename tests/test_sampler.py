@@ -95,3 +95,82 @@ def test_cfg_eps_combines_cond_uncond():
     eps = fn(x, t, 0)
     # eps = u + g*(c-u) = 0.5 + 3*(1.5) = 5.0
     np.testing.assert_allclose(np.asarray(eps), 5.0, rtol=1e-6)
+
+
+# ---- DPM-Solver++(2M) (beyond-reference sampler) --------------------------
+
+
+def test_dpm_constant_eps_exact_and_matches_ddim():
+    """For eps independent of x, both DDIM and DPM-Solver++(2M) integrate
+    the probability-flow ODE exactly: the result is the analytic x0 from
+    the FIRST step's prediction, identical between samplers."""
+    from psd_tpu.diffusion import NoiseSchedule, SamplerConfig, ddim_sample
+    from psd_tpu.diffusion.sampler import dpm_sample
+
+    sched = NoiseSchedule(1000, 8.5e-4, 0.012)
+    c = 0.05
+    x_init = jnp.full((1, 8, 8, 4), 0.1, jnp.float32)
+
+    def eps_fn(x, t, i):
+        return jnp.full_like(x, c)
+
+    cfg = SamplerConfig(sampling_steps=25)
+    out_ddim = np.asarray(ddim_sample(eps_fn, x_init, sched, cfg))
+    out_dpm = np.asarray(dpm_sample(eps_fn, x_init, sched, cfg))
+
+    acp = np.asarray(sched.alphas_cumprod)
+    t0 = 999
+    x0_true = (0.1 - np.sqrt(1 - acp[t0]) * c) / np.sqrt(acp[t0])
+    np.testing.assert_allclose(out_ddim, x0_true, rtol=1e-4)
+    np.testing.assert_allclose(out_dpm, x0_true, rtol=1e-4)
+
+
+def test_dpm_second_order_beats_ddim_at_equal_steps():
+    """For a state-dependent eps (linear model), the 2nd-order multistep
+    solver at 20 steps must land closer to a 400-step DDIM reference than
+    20-step DDIM does.
+
+    x0_clip is neutralized: with the default ±4 clamp active, DDIM keeps
+    the RAW eps in its direction term while DPM++ uses only the clamped
+    x0 — the two integrate *different* clipped dynamics, so a DDIM truth
+    is unreachable for DPM at any order. With the clamp off both solve
+    the same smooth ODE (measured: DPM-20 error 28x below DDIM-20)."""
+    from psd_tpu.diffusion import NoiseSchedule, SamplerConfig, ddim_sample
+    from psd_tpu.diffusion.sampler import dpm_sample
+
+    sched = NoiseSchedule(1000, 8.5e-4, 0.012)
+    x_init = 0.3 * jax.random.normal(jax.random.PRNGKey(0), (1, 8, 8, 4))
+
+    def eps_fn(x, t, i):
+        return 0.3 * x
+
+    truth = np.asarray(
+        ddim_sample(eps_fn, x_init, sched,
+                    SamplerConfig(sampling_steps=400, x0_clip=1e6))
+    )
+    d20 = np.asarray(
+        ddim_sample(eps_fn, x_init, sched,
+                    SamplerConfig(sampling_steps=20, x0_clip=1e6))
+    )
+    p20 = np.asarray(
+        dpm_sample(eps_fn, x_init, sched,
+                   SamplerConfig(sampling_steps=20, x0_clip=1e6))
+    )
+    err_ddim = np.linalg.norm(d20 - truth)
+    err_dpm = np.linalg.norm(p20 - truth)
+    assert err_dpm < 0.2 * err_ddim, (err_dpm, err_ddim)
+
+
+def test_dpm_composes_with_deepcache_in_dadd():
+    from psd_tpu.testing import tiny_dadd
+
+    model = tiny_dadd(tome_ratio=0.5, tome_min_tokens=64)
+    params = model.init_core(jax.random.PRNGKey(0), 32)
+    targets = jnp.array([0.0, 3.0])
+    cond = model.prepare_inference_cond(params, targets, jnp.zeros((2,)), None)
+    out = model.sample(params, cond, jax.random.PRNGKey(5), image_size=32,
+                       sampling_steps=6, steer_scale=1.0, encoder_stride=3,
+                       cache_mode="deep", sampler="dpm")
+    lat = 32 // model.spatial_factor
+    assert out.shape[1:] == (lat, lat, 4)
+    assert np.isfinite(np.asarray(out)).all()
