@@ -12,9 +12,10 @@ Scheme (standard W8A8 dynamic quantization):
     quantization out of the sampling scan, so it costs one pass per batch,
     not per step.
   * activations: symmetric dynamic per-row (per-token) scales for matmuls —
-    rows are never contracted, so per-row dequant is exact; per-tensor
-    scale for convs (the 3×3 window mixes pixels, so finer act scales would
-    land inside the contraction).
+    rows are never contracted, so per-row dequant is exact; per-SAMPLE
+    scales for convs (the 3×3 window mixes pixels of one image, so
+    per-pixel scales would land inside the contraction, but batch items
+    never mix — one outlier can't collapse the whole batch's resolution).
   * accumulation int32 on the MXU, dequant in the fp32 epilogue.
 
 Quality: quantization error is bounded by the per-row/channel amax.
@@ -54,15 +55,6 @@ def quant_rows(x: jnp.ndarray):
     (..., 1): x ≈ q * scale."""
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
-    scale = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
-    q = jnp.round(xf / scale).astype(jnp.int8)
-    return q, scale
-
-
-def quant_tensor(x: jnp.ndarray):
-    """Symmetric whole-tensor int8 quantization; returns (q, scalar scale)."""
-    xf = x.astype(jnp.float32)
-    amax = jnp.max(jnp.abs(xf))
     scale = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
     q = jnp.round(xf / scale).astype(jnp.int8)
     return q, scale
@@ -118,11 +110,17 @@ def qconv3x3(
     stride: int = 1,
     out_dtype: Optional[jnp.dtype] = None,
 ) -> jnp.ndarray:
-    """int8 SAME conv with per-tensor act scale + per-Cout weight scales.
+    """int8 SAME conv with per-sample act scales + per-Cout weight scales.
 
-    Zero padding is exact under symmetric quantization (0 → 0)."""
+    Per-sample (not per-tensor) activation scales: one outlier activation
+    in a batch element cannot collapse int8 resolution for the others
+    (ADVICE r2). Zero padding is exact under symmetric quantization
+    (0 → 0)."""
     out_dtype = out_dtype or x.dtype
-    xq, sx = quant_tensor(x)
+    xf = x.astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=(1, 2, 3), keepdims=True)  # (B,1,1,1)
+    sx = jnp.maximum(amax, _EPS) * (1.0 / 127.0)
+    xq = jnp.round(xf / sx).astype(jnp.int8)
     wq, sw = quant_cols(w, axis=-1)  # (1,1,1,Cout)
     dn = jax.lax.conv_dimension_numbers(x.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
     acc = jax.lax.conv_general_dilated(

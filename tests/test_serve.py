@@ -41,3 +41,21 @@ def test_server_partial_batch_padding():
     img = f.result(timeout=300)
     server.close()
     assert img.shape == (32, 32, 3)
+
+
+def test_server_dpm_turbo_knobs():
+    """The turbo serving knobs (DPM sampler + DeepCache) work end to end."""
+    model = tiny_dadd()
+    core = model.init_core(jax.random.PRNGKey(0), image_size=32)
+    vae = model.vae.init(jax.random.PRNGKey(1), jnp.zeros((1, 32, 32, 3)),
+                         jax.random.PRNGKey(2))
+    server = GenerationServer(model, core, vae, image_size=32,
+                              sampling_steps=4, max_batch=2, max_wait_s=0.05,
+                              encoder_stride=2, cache_mode="deep",
+                              sampler="dpm")
+    rng = np.random.default_rng(2)
+    f = server.submit(rng.normal(size=(17, 32)).astype(np.float32), 3.0, 0.0)
+    img = f.result(timeout=300)
+    server.close()
+    assert img.shape == (32, 32, 3)
+    assert np.isfinite(img).all()
