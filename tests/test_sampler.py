@@ -100,6 +100,54 @@ def test_cfg_eps_combines_cond_uncond():
 # ---- DPM-Solver++(2M) (beyond-reference sampler) --------------------------
 
 
+def _numpy_dpm2m(x, sched, steps, clip=4.0):
+    """Independent numpy DPM-Solver++(2M) following the published algorithm
+    (arXiv:2211.01095 Alg. 2 in the data-prediction form used by diffusers'
+    DPMSolverMultistepScheduler: D = m0 + (1/2r0)(m0 - m1))."""
+    ts = ddim_timesteps(sched.num_train_timesteps, steps)
+    acp = np.asarray(sched.alphas_cumprod, np.float64)
+    x = np.asarray(x, dtype=np.float64)
+    B = x.shape[0]
+    lam = lambda a: 0.5 * (np.log(a) - np.log1p(-a))  # noqa: E731
+    m_prev, h_prev = None, None
+    for i, t in enumerate(ts):
+        t_b = np.full((B,), t, dtype=np.int32)
+        eps = np.asarray(
+            _toy_eps(jnp.asarray(x.astype(np.float32)), jnp.asarray(t_b), i),
+            dtype=np.float64,
+        )
+        a_t = acp[t]
+        m0 = np.clip((x - np.sqrt(1 - a_t) * eps) / np.sqrt(a_t), -clip, clip)
+        if i == steps - 1:
+            x = m0
+            break
+        a_n = acp[ts[i + 1]]
+        h = lam(a_n) - lam(a_t)
+        if m_prev is None:
+            d = m0
+        else:
+            r0 = h_prev / h
+            d = m0 + (0.5 / r0) * (m0 - m_prev)
+        x = (np.sqrt(1 - a_n) / np.sqrt(1 - a_t)) * x \
+            - np.sqrt(a_n) * np.expm1(-h) * d
+        m_prev, h_prev = m0, h
+    return x
+
+
+def test_dpm_matches_numpy_reference():
+    """dpm_sample must match an independently-written numpy DPM++(2M) loop
+    to float tolerance, step table and all."""
+    from psd_tpu.diffusion.sampler import dpm_sample
+
+    sched = NoiseSchedule(1000, 8.5e-4, 0.012)
+    x_init = jax.random.normal(jax.random.PRNGKey(3), (2, 8, 8, 4))
+    ref = _numpy_dpm2m(x_init, sched, steps=13)
+    out = np.asarray(
+        dpm_sample(_toy_eps, x_init, sched, SamplerConfig(sampling_steps=13))
+    )
+    np.testing.assert_allclose(out, ref, rtol=2e-4, atol=2e-5)
+
+
 def test_dpm_constant_eps_exact_and_matches_ddim():
     """For eps independent of x, both DDIM and DPM-Solver++(2M) integrate
     the probability-flow ODE exactly: the result is the analytic x0 from
