@@ -50,6 +50,9 @@ def build_argparser():
                    help="bmp matches the reference's async BMP writes "
                         "(26x faster via the native writer); png compresses")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    from .common import add_turbo_args
+
+    add_turbo_args(p)
     return p
 
 
@@ -104,7 +107,11 @@ def main(argv=None):
     out_dir = Path(args.output_dir)
     data_dir = Path(args.data_dir)
 
-    model = build_model(cfg, args.dtype)
+    if args.encoder_stride > 1 and args.guidance_scale != 1.0:
+        raise SystemExit("--encoder-stride > 1 is incompatible with "
+                         "dual-pass CFG (--guidance-scale != 1)")
+    model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
+                        tome_mode=args.tome_mode)
     core, vae_params, clip_params = load_params(
         model, args.checkpoint, args.seed, image_size, args.ema
     )
@@ -153,6 +160,8 @@ def main(argv=None):
             image_size=image_size, sampling_steps=steps,
             steer_scale=args.steer_scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
+            encoder_stride=args.encoder_stride, cache_mode=args.cache_mode,
+            sampler=args.sampler,
         ))[:n_real]
         for img, (_, _, _, out_path) in zip(imgs, chunk):
             writer.submit(img, out_path)

@@ -41,6 +41,37 @@ def build_model(cfg: Config, dtype_str: str = "bf16",
     return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
 
 
+def add_turbo_args(p):
+    """The opt-in quality-gated turbo serving knobs, shared by the infer /
+    augment / evaluate CLIs (docs/parity.md "Turbo serving path"; quality
+    tables from scripts/check_stride_quality.py). Defaults = exact path."""
+    p.add_argument("--encoder-stride", type=int, default=1,
+                   help="feature propagation: full forward every N-th step "
+                        "only (1 = exact; arXiv:2312.09608). Incompatible "
+                        "with dual-pass CFG")
+    p.add_argument("--cache-mode", type=str, default="encoder",
+                   choices=["encoder", "deep"],
+                   help="what propagates across non-key steps: 'encoder' "
+                        "caches down+mid features (Faster Diffusion); "
+                        "'deep' caches the last-up-block input and re-runs "
+                        "the shallow path (DeepCache, arXiv:2310.01407)")
+    p.add_argument("--tome-ratio", type=float, default=0.0,
+                   help="ToMe token merging at the 64x64 attention sites "
+                        "(arXiv:2303.17098); 0 = off/exact, 0.5 = the "
+                        "paper's quality-neutral point")
+    p.add_argument("--tome-mode", type=str, default="branch",
+                   choices=["branch", "block"],
+                   help="'branch': per-branch merge/unmerge; 'block': one "
+                        "merge per transformer block (faster, slightly "
+                        "stronger approximation)")
+    p.add_argument("--sampler", type=str, default="ddim",
+                   choices=["ddim", "dpm"],
+                   help="'ddim' is reference-exact; 'dpm' = DPM-Solver++"
+                        "(2M) (arXiv:2211.01095) — pair with 20-25 "
+                        "sampling steps where DDIM wants 50")
+    return p
+
+
 def pad_batch(arrays, full: int):
     """Pad leading dims to `full` by repeating the last element.
 

@@ -74,6 +74,9 @@ def build_argparser():
                    help="smoke runs only: proceed with random-init "
                         "Inception/VGG (FID/IPR values are meaningless)")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
+    from .common import add_turbo_args
+
+    add_turbo_args(p)
     return p
 
 
@@ -277,6 +280,9 @@ def generate_all(
     writer: Optional[AsyncImageWriter] = None,
     out_dir: Optional[Path] = None,
     vae_params=None,
+    encoder_stride: int = 1,
+    cache_mode: str = "encoder",
+    sampler: str = "ddim",
 ) -> Tuple[Dict[int, np.ndarray], float]:
     """Batched counterfactual generation (reference generate_all :867-975)."""
     use_rg = model.core_cfg.use_routing_gates
@@ -320,6 +326,8 @@ def generate_all(
             image_size=image_size, sampling_steps=steps,
             steer_scale=scale if use_rg else 0.0,
             guidance_scale=guidance, cond_uncond=uncond, shared_noise=False,
+            encoder_stride=encoder_stride, cache_mode=cache_mode,
+            sampler=sampler,
         ))[:n_real]
         total += len(imgs)
         for img, tgt, (idx, _, _) in zip(imgs, tgts, chunk):
@@ -345,7 +353,13 @@ def main(argv=None):
     out_root = Path(args.output_dir)
     out_root.mkdir(parents=True, exist_ok=True)
 
-    model = build_model(cfg, args.dtype)
+    model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
+                        tome_mode=args.tome_mode)
+    if args.encoder_stride > 1 and not cfg.model.use_routing_gates and any(
+        s != 1.0 for s in args.scales
+    ):
+        raise SystemExit("--encoder-stride > 1 is incompatible with "
+                         "dual-pass CFG (baseline mode with scale != 1)")
     ds = LIMUCDataset(
         Path(args.data_dir) / args.split,
         image_size=image_size,
@@ -393,6 +407,8 @@ def main(argv=None):
                 args.batch_images, num_classes, args.seed,
                 writer=writer, out_dir=run_dir if args.save_images else None,
                 vae_params=vae_params,
+                encoder_stride=args.encoder_stride,
+                cache_mode=args.cache_mode, sampler=args.sampler,
             )
             if writer:
                 writer.close()

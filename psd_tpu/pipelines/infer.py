@@ -56,43 +56,9 @@ def build_argparser() -> argparse.ArgumentParser:
                         "selection is JAX-platform-driven here")
     p.add_argument("--output-dir", type=str, default="outputs/progression")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
-    p.add_argument("--encoder-stride", type=int, default=1,
-                   help="encoder propagation: re-run the UNet encoder every "
-                        "N-th DDIM step only (1 = exact; >1 trades ~40%% of "
-                        "UNet FLOPs for a small approximation, "
-                        "arXiv:2312.09608). Incompatible with dual-pass CFG "
-                        "(baseline mode with --guidance-scale != 1); see "
-                        "scripts/check_stride_quality.py for the measured "
-                        "quality-vs-stride table")
-    p.add_argument("--cache-mode", type=str, default="encoder",
-                   choices=["encoder", "deep"],
-                   help="what propagates across non-key steps when "
-                        "--encoder-stride > 1: 'encoder' caches down+mid "
-                        "features (arXiv:2312.09608); 'deep' caches the "
-                        "last-up-block input and re-runs only the shallow "
-                        "path, so the current x_t still flows through every "
-                        "step (DeepCache, arXiv:2310.01407) — faster at "
-                        "equal stride")
-    p.add_argument("--tome-ratio", type=float, default=0.0,
-                   help="ToMe token merging at the 64x64 attention sites "
-                        "(arXiv:2303.17098): fraction of tokens merged "
-                        "before self-attention (0 = off/exact; 0.5 is the "
-                        "paper's quality-neutral point). Composes with "
-                        "--encoder-stride; see scripts/check_stride_quality"
-                        ".py for the measured quality table")
-    p.add_argument("--sampler", type=str, default="ddim",
-                   choices=["ddim", "dpm"],
-                   help="'ddim' is reference-exact; 'dpm' = DPM-Solver++(2M) "
-                        "(arXiv:2211.01095), a 2nd-order ODE solver whose "
-                        "accepted quality-neutral point is 20-25 steps where "
-                        "DDIM wants 50 (deterministic; --eta ignored). "
-                        "Composes with the propagation/ToMe turbo levers")
-    p.add_argument("--tome-mode", type=str, default="branch",
-                   choices=["branch", "block"],
-                   help="'branch': ToMe-SD per-branch merge/unmerge (weakest "
-                        "approximation); 'block': one merge per transformer "
-                        "block — the whole block runs at the merged length "
-                        "(faster, slightly stronger approximation)")
+    from .common import add_turbo_args
+
+    add_turbo_args(p)
     return p
 
 
