@@ -90,6 +90,14 @@ def test_baseline_mode_cfg_sampling():
     )
     assert lat.shape == (2, 16, 16, 4)
     assert np.isfinite(np.asarray(lat)).all()
+    # dual-pass CFG composes with the DPM-Solver++ sampler too
+    lat_dpm = model.sample(
+        params, cond, jax.random.PRNGKey(2), image_size=32, sampling_steps=4,
+        guidance_scale=3.0, cond_uncond=uncond, sampler="dpm",
+    )
+    assert lat_dpm.shape == (2, 16, 16, 4)
+    assert np.isfinite(np.asarray(lat_dpm)).all()
+    assert not np.allclose(np.asarray(lat_dpm), np.asarray(lat))
 
 
 def test_vae_encode_decode_through_dadd(dadd_and_params):
