@@ -31,8 +31,11 @@ BATCH = 8
 # check_stride_quality.py + bench_turbo_quality*.json; docs/parity.md
 # "Turbo serving path"). Reported as a SECOND number in the same JSON
 # line — the headline `value` stays the reference-exact path.
+# steps=25 + sampler="dpm" is DPM-Solver++(2M)'s accepted quality-neutral
+# operating point (arXiv:2211.01095) vs the 50-step DDIM exact baseline.
 TURBO = dict(tome_ratio=0.5, tome_mode="block",
-             encoder_stride=5, cache_mode="deep")
+             encoder_stride=5, cache_mode="deep",
+             sampler="dpm", steps=25)
 
 
 def main() -> None:
@@ -128,22 +131,36 @@ def main() -> None:
     def generate_turbo(cond, key):
         return turbo_model.generate(
             params, vae_params, cond, key,
-            image_size=IMAGE_SIZE, sampling_steps=STEPS,
+            image_size=IMAGE_SIZE, sampling_steps=TURBO["steps"],
             steer_scale=1.0, shared_noise=False,
             encoder_stride=TURBO["encoder_stride"],
             cache_mode=TURBO["cache_mode"],
+            sampler=TURBO["sampler"],
         )
 
-    imgs_t = np.asarray(generate_turbo(cond, jax.random.PRNGKey(10)))
-    assert imgs_t.shape == (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
-    assert np.isfinite(imgs_t).all()
-    times_t = []
-    for i in range(n_iters):
-        t0 = time.perf_counter()
-        s = np.asarray(checksum(generate_turbo(cond, jax.random.PRNGKey(20 + i))))
-        assert np.isfinite(s)
-        times_t.append(time.perf_counter() - t0)
-    turbo_img_per_s = BATCH / float(np.median(times_t))
+    # The turbo point must never take down the exact headline: degrade to
+    # an error record if any lever misbehaves on the current backend.
+    turbo_report: dict
+    try:
+        imgs_t = np.asarray(generate_turbo(cond, jax.random.PRNGKey(10)))
+        assert imgs_t.shape == (BATCH, IMAGE_SIZE, IMAGE_SIZE, 3)
+        assert np.isfinite(imgs_t).all()
+        times_t = []
+        for i in range(n_iters):
+            t0 = time.perf_counter()
+            s = np.asarray(
+                checksum(generate_turbo(cond, jax.random.PRNGKey(20 + i)))
+            )
+            assert np.isfinite(s)
+            times_t.append(time.perf_counter() - t0)
+        turbo_img_per_s = BATCH / float(np.median(times_t))
+        turbo_report = {
+            "img_per_s": round(turbo_img_per_s, 4),
+            "vs_baseline": round(turbo_img_per_s / A100_BASELINE_IMG_PER_S, 4),
+            "config": TURBO,
+        }
+    except Exception as e:  # pragma: no cover - defensive bench path
+        turbo_report = {"error": f"{type(e).__name__}: {e}", "config": TURBO}
 
     print(
         json.dumps(
@@ -154,13 +171,7 @@ def main() -> None:
                 "vs_baseline": round(img_per_s / A100_BASELINE_IMG_PER_S, 4),
                 # opt-in approximate serving config (quality table committed
                 # in bench_turbo_quality*.json; headline `value` is exact)
-                "turbo": {
-                    "img_per_s": round(turbo_img_per_s, 4),
-                    "vs_baseline": round(
-                        turbo_img_per_s / A100_BASELINE_IMG_PER_S, 4
-                    ),
-                    "config": TURBO,
-                },
+                "turbo": turbo_report,
                 # the reference publishes no throughput numbers (BASELINE.md);
                 # vs_baseline divides by an ESTIMATED A100 fp16 anchor
                 "baseline_anchor": {

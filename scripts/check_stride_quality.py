@@ -157,6 +157,19 @@ def main() -> None:
 
     lat1, img1, t1 = run({"tome": 0.0, "stride": 1, "cache_mode": "encoder"})
     rows = []
+
+    def table() -> dict:
+        return {
+            "metric": "turbo_quality_vs_exact",
+            "exact_s_per_batch": round(t1, 4),
+            "exact_img_per_s_ex_vae": round(args.batch / t1, 4),
+            "steps": args.steps,
+            "size": args.size,
+            "batch": args.batch,
+            "weights": "random-init (upper bound; re-run on trained weights)",
+            "rows": rows,
+        }
+
     for v in variants:
         lat_s, img_s, t_s = run(v)
         rel = float(np.linalg.norm(lat_s - lat1) / max(np.linalg.norm(lat1), 1e-12))
@@ -171,20 +184,10 @@ def main() -> None:
             "speedup_vs_exact": round(t1 / t_s, 4),
         })
         print(json.dumps(rows[-1]))
+        if args.out:  # incremental: a timeout loses one variant, not the run
+            Path(args.out).write_text(json.dumps(table(), indent=1))
 
-    result = {
-        "metric": "turbo_quality_vs_exact",
-        "exact_s_per_batch": round(t1, 4),
-        "exact_img_per_s_ex_vae": round(args.batch / t1, 4),
-        "steps": args.steps,
-        "size": args.size,
-        "batch": args.batch,
-        "weights": "random-init (upper bound; re-run on trained weights)",
-        "rows": rows,
-    }
-    print(json.dumps(result))
-    if args.out:
-        Path(args.out).write_text(json.dumps(result, indent=1))
+    print(json.dumps(table()))
 
 
 if __name__ == "__main__":

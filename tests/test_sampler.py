@@ -222,3 +222,35 @@ def test_dpm_composes_with_deepcache_in_dadd():
     lat = 32 // model.spatial_factor
     assert out.shape[1:] == (lat, lat, 4)
     assert np.isfinite(np.asarray(out)).all()
+
+
+def test_bench_turbo_config_generates():
+    """The EXACT bench.py turbo composition (block ToMe + deep-cache stride
+    + DPM sampler) runs through DADD.generate — protects the headline
+    harness: bench.py must never discover a broken lever combination on
+    the chip first."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+    from bench import TURBO
+
+    from psd_tpu.testing import tiny_dadd
+
+    model = tiny_dadd(tome_ratio=TURBO["tome_ratio"],
+                      tome_mode=TURBO["tome_mode"], tome_min_tokens=16)
+    params = model.init_core(jax.random.PRNGKey(0), 32)
+    vae_params = model.vae.init(jax.random.PRNGKey(1),
+                                jnp.zeros((1, 32, 32, 3)),
+                                jax.random.PRNGKey(2))
+    targets = jnp.array([0.0, 3.0])
+    cond = model.prepare_inference_cond(params, targets, jnp.zeros((2,)), None)
+    imgs = model.generate(
+        params, vae_params, cond, jax.random.PRNGKey(5),
+        image_size=32, sampling_steps=7,  # odd: exercises last-step-exact
+        steer_scale=1.0, shared_noise=False,
+        encoder_stride=TURBO["encoder_stride"],
+        cache_mode=TURBO["cache_mode"], sampler=TURBO["sampler"],
+    )
+    assert imgs.shape == (2, 32, 32, 3)
+    assert np.isfinite(np.asarray(imgs)).all()
