@@ -129,6 +129,11 @@ class GenerationServer:
             self.core, jnp.asarray(targets), jnp.asarray(sources),
             jnp.asarray(feats),
         )
+        # One noise key per BATCH (folded from the first request's seed):
+        # co-batched requests get distinct per-sample noise (shared_noise=
+        # False splits per sample) but a request's seed is only reproducible
+        # when it leads its batch. Exact per-request reproducibility needs
+        # max_batch=1 or a dedicated submit-with-batch API.
         key = jax.random.fold_in(jax.random.PRNGKey(17), batch[0].seed)
         lat = self.model.sample(
             self.core, cond, key,
