@@ -38,12 +38,42 @@ TURBO = dict(tome_ratio=0.5, tome_mode="block",
              sampler="dpm", steps=25)
 
 
+def _probe_device(timeout_s: float = 240.0) -> None:
+    """Fail FAST and loud if the accelerator is unreachable.
+
+    A dead-but-registered axon tunnel makes jax.devices() block inside the
+    runtime with no Python-level timeout — the bench would hang for its
+    whole outer timeout instead of reporting. Probe in a subprocess first;
+    on failure print one JSON line with an error record and exit non-zero."""
+    import subprocess
+    import sys
+
+    try:
+        r = subprocess.run(
+            [sys.executable, "-c",
+             "import jax; print(jax.devices()[0].platform)"],
+            timeout=timeout_s, capture_output=True, text=True,
+        )
+        ok = r.returncode == 0 and r.stdout.strip() != ""
+        detail = (r.stderr or "")[-300:] if not ok else ""
+    except subprocess.TimeoutExpired:
+        ok, detail = False, f"device probe timed out after {timeout_s:.0f}s"
+    if not ok:
+        print(json.dumps({
+            "metric": "images_per_sec_per_chip_512px_50step_ddim",
+            "value": None, "unit": "img/s",
+            "error": f"accelerator unreachable: {detail}",
+        }))
+        raise SystemExit(1)
+
+
 def main() -> None:
     from psd_tpu.core.config import Config
     from psd_tpu.diffusion.dadd import DADD, core_config_from
     from psd_tpu.models.vae import VAEConfig
     from psd_tpu.utils.fast_init import enable_compile_cache, fast_init
 
+    _probe_device()
     enable_compile_cache()
     cfg = Config()
     cfg.diffusion.sampling_steps = STEPS
