@@ -1,5 +1,5 @@
 # Convenience targets (counterpart of the reference Makefile)
-.PHONY: test test-all lint format train train-ip inference evaluate compare-ip bench
+.PHONY: test test-all lint format train train-ip inference evaluate compare-ip bench bench-suite quality-gate
 
 # fast tier (~8 min on 1 CPU): unit + light integration + tiny goldens;
 # full coverage incl. SD-scale goldens / e2e pipelines: test-all (~36 min)
@@ -26,6 +26,16 @@ compare-ip:
 
 bench:
 	python bench.py
+
+# every tracked metric as a JSON artifact (headline, turbo quality table,
+# progression p50, train throughput, batch sweep, VAE decode) — TPU only
+bench-suite:
+	bash scripts/run_bench_suite.sh
+
+# re-gate the turbo serving points on the CURRENT weights before enabling
+# them in production (docs/serving.md)
+quality-gate:
+	python scripts/check_stride_quality.py --out bench_turbo_quality.json
 
 lint:
 	python -m ruff check psd_tpu tests || true
