@@ -30,25 +30,31 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 
+LOG2E = 1.4426950408889634  # log2(e)
+
+
 def _kernel(q_ref, k_ref, v_ref, o_ref, *, scale, D):
     """VPU budget is the limiter at S=4096 (the MXU work is ~2.8 ms/site but
     ~5 elementwise passes over the S² logits cost more) — so every S²-sized
     VPU op matters:
       * the softmax scale is folded into q (a (BQ,D) multiply, 1/S the work
-        of scaling the logits);
+        of scaling the logits) — WITH log2(e) folded in too, so the softmax
+        exponentials run as raw exp2: exp(x−m) = exp2(x·log2e − m·log2e),
+        and the per-element ·log2e multiply inside exp's lowering vanishes
+        (the max is taken over the log2-scaled logits — same stability);
       * the softmax denominator comes out of the MXU for free: v carries an
         appended ones-column (D→D+1 pads into the same 128-lane tile), so
         PV's last column IS Σp — no S²-wide VPU sum-reduce pass. Numerator
         and denominator then use the SAME bf16-rounded p, making the output
         an exact convex combination of v rows."""
-    q = q_ref[0] * scale  # (BQ, D) — fold scale pre-contraction
+    q = q_ref[0] * (scale * LOG2E)  # (BQ, D) — fold scale+log2e pre-contraction
     k = k_ref[0]  # (S, D)
     v = v_ref[0]  # (S, D+1), last column ones
     logits = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (BQ, S)
+    )  # (BQ, S) — in log2 units
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m).astype(v.dtype)
+    p = jnp.exp2(logits - m).astype(v.dtype)
     z = jax.lax.dot_general(
         p, v, (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
@@ -73,9 +79,10 @@ def _kernel_q8(q_ref, sq_ref, k_ref, sk_ref, v_ref, sv_ref, o_ref, *,
     )  # (BQ, S)
     sq = sq_ref[0]  # (BQ, 1)
     sk = sk_ref[0]  # (1, S)
-    logits = acc.astype(jnp.float32) * (sq * scale) * sk
+    # log2e folds into the row dequant scale → raw exp2 exponentials
+    logits = acc.astype(jnp.float32) * (sq * (scale * LOG2E)) * sk
     m = jnp.max(logits, axis=-1, keepdims=True)
-    p = jnp.exp(logits - m)
+    p = jnp.exp2(logits - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
     if pv8:
         v = v_ref[0]  # (S, D) int8
@@ -216,7 +223,7 @@ def spatial_attention(
     k: jnp.ndarray,  # (B, Sk, H, D)
     v: jnp.ndarray,
     scale: Optional[float] = None,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
     quant: str = "none",  # "qk8" (int8 QK^T) | "int8" (QK^T + PV int8)
     interpret: Optional[bool] = None,
 ) -> Optional[jnp.ndarray]:
@@ -230,6 +237,12 @@ def spatial_attention(
     Sk = k.shape[1]
     if Sq != Sk or Sq % 256 or Sq > 4096 or D > 256:
         return None
+    if block_q is None:
+        # 512 measured 5% faster than 256 at the S=4096/D=40 stage-0 shape
+        # (fewer grid invocations); the (BQ, S) fp32 logits slab is the VMEM
+        # limiter — stay at 256 for wide heads so 512·S·4B + K/V fits the
+        # 16 MB scoped budget.
+        block_q = 512 if D <= 64 else 256
     from ..parallel.mesh import kernel_batch_axes
 
     info = kernel_batch_axes()

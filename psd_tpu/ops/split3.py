@@ -31,17 +31,21 @@ def _kernel(ds_ref, q_ref, ka_ref, va_ref, kd_ref, vd_ref, kl_ref, vl_ref,
     # Input-dtype matmuls with fp32 accumulation (bf16 in the model — fp32
     # MXU contractions cost multiple passes per tile for no accuracy the
     # bf16 pipeline keeps anyway; CPU tests feed fp32 and stay exact).
-    # The softmax scale folds into q: a (block_q, D) multiply instead of
-    # three (block_q, KV)-sized logit scalings.
-    q = q_ref[0] * jnp.asarray(scale, q_ref.dtype)  # (block_q, D)
+    # The softmax scale folds into q (with log2e so the exponentials run as
+    # raw exp2): a (block_q, D) multiply instead of three (block_q, KV)-sized
+    # logit scalings.
+    LOG2E = 1.4426950408889634
+    q = q_ref[0] * jnp.asarray(scale * LOG2E, q_ref.dtype)  # (block_q, D)
 
     def att(k_ref, v_ref):
         k = k_ref[0]  # (KV, D)
         v = v_ref[0]
         logits = jax.lax.dot_general(
             q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-        )  # (block_q, KV) fp32
-        p = jax.nn.softmax(logits, axis=-1)
+        )  # (block_q, KV) fp32, log2 units
+        m = jnp.max(logits, axis=-1, keepdims=True)
+        p = jnp.exp2(logits - m)
+        p = p / jnp.sum(p, axis=-1, keepdims=True)
         return jnp.dot(p.astype(v.dtype), v, preferred_element_type=jnp.float32)
 
     out = anat_gate * att(ka_ref, va_ref) + dis_gate * att(kd_ref, vd_ref)
