@@ -96,12 +96,17 @@ class Conv3x3(nn.Module):
 
 
 class FinalConv(nn.Module):
-    """3×3 conv with configurable operand dtype and fp32 accumulation.
+    """3×3 conv in compute dtype with an fp32 output upcast.
 
     Used for the UNet/VAE output convs (4/8/3-channel outputs): N pads to
     128 MXU lanes whatever the dtype, but fp32 OPERANDS quarter the MXU
-    rate. Compute-dtype operands + fp32 accumulation/output keep the
-    precision that matters (the inputs are bf16-rounded upstream anyway).
+    rate. The conv runs in compute dtype (MXU accumulates fp32 internally)
+    and the result is upcast to fp32 for the downstream sampler math.
+    NOTE: `preferred_element_type=fp32` with bf16 operands is NOT
+    differentiable in jax 0.9 (the transpose sees an fp32 cotangent vs
+    bf16 operands and conv rejects mixed dtypes), so the upcast happens
+    after the conv; measured perf is identical either way
+    (scripts/bench_vae.py bf16-vs-fp32 final conv: 125.14 vs 125.11 ms).
     nn.Conv-compatible param tree (kernel HWIO + bias)."""
 
     features: int
@@ -119,9 +124,8 @@ class FinalConv(nn.Module):
         out = jax.lax.conv_general_dilated(
             x.astype(self.dtype), kernel.astype(self.dtype), (1, 1),
             [(1, 1), (1, 1)], dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
         )
-        return out + bias.astype(jnp.float32)
+        return out.astype(jnp.float32) + bias.astype(jnp.float32)
 
 
 class ResnetBlock2D(nn.Module):

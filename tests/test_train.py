@@ -189,6 +189,31 @@ def test_tp_mesh_train_step():
                                rtol=2e-4, atol=2e-5)
 
 
+def test_train_step_bf16_compute():
+    """Regression: the bf16 train graph must differentiate end-to-end.
+
+    jax 0.9's conv transpose rejects mixed-dtype operands, so a
+    `preferred_element_type=fp32` conv with bf16 inputs traces forward but
+    explodes under value_and_grad — exactly the bench_train (chip, bf16)
+    configuration, which the fp32 CPU tests never exercised."""
+    model = tiny_dadd(dtype=jnp.bfloat16)
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    from psd_tpu.train import make_train_step
+
+    step_fn = jax.jit(make_train_step(model, tx))
+    B = 4
+    batch = {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.arange(4.0),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    }
+    state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert float(metrics["grad_norm"]) > 0
+
+
 def test_checkpoint_roundtrip(tmp_path):
     import dataclasses
 
