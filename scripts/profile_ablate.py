@@ -154,6 +154,38 @@ def main():
         pad = jnp.zeros(x.shape[:-1] + (orig.shape[-1],), x.dtype)
         return pad + orig.mean().astype(x.dtype) * 0
 
+    orig_down = L.Downsample2D.__call__
+    orig_up = L.Upsample2D.__call__
+    orig_final = L.FinalConv.__call__
+    orig_temb = L.TimestepEmbedding.__call__
+
+    def down_noop(self, x):
+        # SD downsamplers keep channel count: a strided slice is shape-exact
+        orig = orig_down(self, x[:, :8, :8, :])
+        return x[:, ::2, ::2, :] + orig.mean().astype(x.dtype) * 0
+
+    def up_noop(self, x):
+        orig = orig_up(self, x[:, :8, :8, :])
+        b, h, w, c = x.shape
+        rep = jnp.broadcast_to(
+            x[:, :, None, :, None, :], (b, h, 2, w, 2, c)
+        ).reshape(b, 2 * h, 2 * w, c)
+        return rep + orig.mean().astype(x.dtype) * 0
+
+    def final_noop(self, x):
+        orig = orig_final(self, x[:, :8, :8, :])
+        return (
+            jnp.zeros(x.shape[:-1] + (self.features,), jnp.float32)
+            + orig.mean() * 0
+        )
+
+    def temb_noop(self, t_emb):
+        orig = orig_temb(self, t_emb[:1])
+        return (
+            jnp.zeros(t_emb.shape[:-1] + (self.time_embed_dim,), orig.dtype)
+            + orig.mean() * 0
+        )
+
     # compact marker so flax treats the patched bodies like the originals
     attn_no_self = nn.compact(attn_no_self)
     attn_no_cross = nn.compact(attn_no_cross)
@@ -173,6 +205,16 @@ def main():
         run_variant("transformer nulled", B, [(L.Transformer2D, "__call__", trans_noop)])
     if "nores" in want:
         run_variant("resblocks tiny(8x8)", B, [(L.ResnetBlock2D, "__call__", res_light)])
+    if "noupdown" in want:
+        run_variant("up/down-samplers nulled", B, [
+            (L.Downsample2D, "__call__", nn.compact(down_noop)),
+            (L.Upsample2D, "__call__", nn.compact(up_noop)),
+        ])
+    if "noio" in want:
+        run_variant("conv_out+temb nulled", B, [
+            (L.FinalConv, "__call__", nn.compact(final_noop)),
+            (L.TimestepEmbedding, "__call__", nn.compact(temb_noop)),
+        ])
 
 
 if __name__ == "__main__":
