@@ -140,12 +140,14 @@ def main():
     print(f"  mid-block attention  {attn:7.2f}")
     print(f"  convs + rest         {conv_rest:7.2f}")
 
-    # XLA's own FLOP count for the full decode → conv MFU bound
+    # XLA's own FLOP count for the full decode → conv MFU bound.
+    # NOTE: cost_analysis counts a while-loop (scan) BODY once, not
+    # ×trip-count, so the reported flops already equal ONE decode.
     fn, p, z = variants["full"]
     cost = fn.lower(p, z).compile().cost_analysis()
     if isinstance(cost, (list, tuple)):
         cost = cost[0]
-    flops = float(cost.get("flops", 0.0)) / REPS
+    flops = float(cost.get("flops", 0.0))
     print(f"  XLA flops/decode     {flops/1e12:7.3f} TF  -> "
           f"{flops/1e12/197*1e3:.1f} ms at 197 TFLOPS peak; conv-remainder "
           f"MFU ≈ {flops/1e12/197*1e3/max(conv_rest,1e-9)*100:.0f}%")
