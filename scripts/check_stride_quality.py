@@ -20,12 +20,19 @@ Variants (comma list, --variants):
 CAVEAT (same as the int8 gate): with random weights the UNet's eps field is
 near-zero and smooth, so these numbers are an upper bound on quality — the
 cached features genuinely change less between steps than a trained model's
-would. Re-run on trained weights the day they exist; until then the turbo
-numbers ship with THIS table attached.
+would. `--train-steps N` closes most of that gap without any pretrained
+checkpoint: it first trains the SD-scale model for N real optimizer steps
+on a class-structured synthetic task (low-frequency latents whose contrast
+and bias depend on the MES class; per-class CLIP-feature anchors), then
+measures the table on those weights WITH in-distribution conditioning from
+prepare_conditioning — so the eps field has genuine t- and class-dependent
+structure. Still not CompVis weights (none exist in this environment);
+re-run with real checkpoints via scripts/port_weights.py the day they do.
 
 Run on TPU:
   python scripts/check_stride_quality.py [--steps 50] [--size 512] \
-      [--variants enc2,enc3,deep3,tome0.5+deep3] [--out table.json]
+      [--variants enc2,enc3,deep3,tome0.5+deep3] [--out table.json] \
+      [--train-steps 500]
 """
 
 from __future__ import annotations
@@ -67,11 +74,85 @@ def parse_variant(tok: str) -> dict:
     return v
 
 
+def synth_train(cfg, steps: int, *, image_size: int = 256, batch: int = 8):
+    """N real AdamW steps on a class-structured synthetic task at SD scale.
+
+    Returns (params fp32, per-class clip-feature anchors). The task gives
+    the eps field genuine structure: latents are low-frequency fields whose
+    contrast/bias depend on the class, and the conditioning stream carries
+    per-class CLIP anchors — so DeepCache/ToMe/stride approximations are
+    exercised on features that actually move between steps and classes.
+    """
+    from psd_tpu.diffusion.dadd import DADD, core_config_from
+    from psd_tpu.train import build_optimizer, make_train_step
+    from psd_tpu.train.ema import ema_init
+    from psd_tpu.train.trainer import TrainState
+    from psd_tpu.utils.fast_init import fast_init
+
+    core_cfg = core_config_from(cfg, remat=True, dtype=jnp.bfloat16)
+    model = DADD(cfg, core_cfg=core_cfg)
+    lat = image_size // 8
+    n_pos = model.clip_cfg.num_positions
+    c_dim = core_cfg.clip_hidden_dim
+    n_cls = cfg.dataset.num_classes
+
+    params = fast_init(
+        model.core,
+        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(0)},
+        jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32),
+        jnp.zeros((1,)), jnp.zeros((1, n_pos, c_dim)), 0.0,
+    )
+    tx = build_optimizer(cfg, steps_per_epoch=max(steps, 1))
+    state = TrainState(
+        step=jnp.zeros((), jnp.int32),
+        params=params,
+        opt_state=tx.init(params["params"]),
+        ema=ema_init(params["params"], dtype=jnp.bfloat16),
+    )
+    step_fn = jax.jit(make_train_step(model, tx), donate_argnums=(0,))
+
+    anchors = jax.random.normal(jax.random.PRNGKey(11), (n_cls, n_pos, c_dim))
+
+    @jax.jit
+    def make_batch(key):
+        k1, k2, k3 = jax.random.split(key, 3)
+        labels = jax.random.randint(k1, (batch,), 0, n_cls)
+        base = jax.random.normal(k2, (batch, lat // 4, lat // 4, 4))
+        field = jax.image.resize(base, (batch, lat, lat, 4), "linear")
+        amp = (0.5 + 0.35 * labels.astype(jnp.float32))[:, None, None, None]
+        bias = 0.3 * (labels.astype(jnp.float32) - (n_cls - 1) / 2)
+        lats = amp * field + bias[:, None, None, None]
+        feats = anchors[labels] + 0.1 * jax.random.normal(
+            k3, (batch, n_pos, c_dim))
+        return {"latents": lats,
+                "labels": labels.astype(jnp.float32),
+                "clip_feats": feats}
+
+    rng = jax.random.PRNGKey(5)
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = step_fn(state, make_batch(jax.random.fold_in(rng, i)),
+                                 rng)
+        if i % 100 == 0 or i == steps - 1:
+            print(f"synth-train step {i}: loss={float(metrics['loss']):.4f} "
+                  f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    trained = state.params
+    del state, step_fn  # free AdamW moments + EMA before the 512² samplers
+    import gc
+
+    gc.collect()
+    return trained, anchors
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--batch", type=int, default=8)
+    ap.add_argument("--train-steps", type=int, default=0,
+                    help="first train the SD-scale model this many steps on "
+                         "a class-structured synthetic task, then gate on "
+                         "those weights (see docstring)")
     ap.add_argument("--variants", type=str,
                     default="enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,"
                             "tome0.5+deep5,tomeb0.5+deep5,tomeb0.5+deep6,"
@@ -111,21 +192,41 @@ def main() -> None:
 
     base_model = get_model(0.0)
     core_cfg = base_model.core_cfg
-    params = bf16(fast_init(
-        base_model.core, {"params": rng, "noise": rng},
-        jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1,)),
-        jnp.zeros((1, base_model.clip_cfg.num_positions,
-                   core_cfg.clip_hidden_dim)),
-        0.0,
-    ))
+    if args.train_steps > 0:
+        trained, anchors = synth_train(cfg, args.train_steps,
+                                       batch=args.batch)
+        params = bf16(trained)
+        del trained
+        weights_note = (f"synthetic-trained {args.train_steps} steps "
+                        "(class-structured latents + per-class CLIP "
+                        "anchors; in-distribution conditioning)")
+    else:
+        params = bf16(fast_init(
+            base_model.core, {"params": rng, "noise": rng},
+            jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32),
+            jnp.zeros((1,)),
+            jnp.zeros((1, base_model.clip_cfg.num_positions,
+                       core_cfg.clip_hidden_dim)),
+            0.0,
+        ))
+        weights_note = "random-init (upper bound; see --train-steps)"
     vae_params = bf16(fast_init(
         base_model.vae, jax.random.PRNGKey(1),
         jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
         jax.random.PRNGKey(2),
     ))
     n_tok = 3 * core_cfg.num_aoe_tokens
-    cond = jax.random.normal(rng, (args.batch, n_tok, 768), jnp.float32)
+    if args.train_steps > 0:
+        # in-distribution conditioning: source→target MES progression over
+        # the trained per-class CLIP anchors, through prepare_conditioning
+        n_cls = cfg.dataset.num_classes
+        tgt = jnp.tile(jnp.arange(n_cls, dtype=jnp.float32),
+                       (args.batch + n_cls - 1) // n_cls)[:args.batch]
+        src = jnp.maximum(tgt - 1.0, 0.0)
+        feats = anchors[src.astype(jnp.int32)]
+        cond = base_model.prepare_inference_cond(params, tgt, src, feats)
+    else:
+        cond = jax.random.normal(rng, (args.batch, n_tok, 768), jnp.float32)
     checksum = jax.jit(lambda t: t.astype(jnp.float32).sum())
 
     def run(v):
@@ -166,7 +267,7 @@ def main() -> None:
             "steps": args.steps,
             "size": args.size,
             "batch": args.batch,
-            "weights": "random-init (upper bound; re-run on trained weights)",
+            "weights": weights_note,
             "rows": rows,
         }
 
