@@ -85,6 +85,10 @@ def main(argv=None):
         seed=cfg.training.seed,
     )
     steps_per_epoch = max(len(loader), 1)
+    # the LR schedule advances per OPTIMIZER step; with gradient accumulation
+    # one epoch contains len(loader)//k of those (optim.py build_optimizer)
+    accum = max(cfg.training.accumulate_grad_batches or 1, 1)
+    opt_steps_per_epoch = max(steps_per_epoch // accum, 1)
 
     # frozen encoders
     rng = jax.random.PRNGKey(cfg.training.seed)
@@ -114,7 +118,7 @@ def main(argv=None):
         return latents, clip_feats
 
     # train state
-    tx = build_optimizer(cfg, steps_per_epoch)
+    tx = build_optimizer(cfg, opt_steps_per_epoch)
     state, tx = create_train_state(model, rng, tx=tx,
                                    image_size=cfg.dataset.image_size)
     ckpt = CheckpointManager(out_dir / "checkpoints")

@@ -89,4 +89,15 @@ def build_optimizer(cfg: Config, steps_per_epoch: int = 1000) -> optax.GradientT
     clip = cfg.training.gradient_clip_val
     if clip and clip > 0:
         tx = optax.chain(optax.clip_by_global_norm(clip), tx)
+    accum = getattr(cfg.training, "accumulate_grad_batches", 1) or 1
+    if accum > 1:
+        # Gradient accumulation (reference: Trainer(accumulate_grad_batches=k),
+        # training_pipeline_ip.py:117): average grads over k micro-batches,
+        # apply one optimizer step every k. Clipping sits INSIDE MultiSteps,
+        # so — like Lightning — it clips the accumulated (averaged) gradient
+        # at the real optimizer step, not each micro-gradient. The LR
+        # schedule advances per OPTIMIZER step (MultiSteps only steps the
+        # inner transform on apply), so `steps_per_epoch` passed here must
+        # count optimizer steps (= batches_per_epoch // k).
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     return tx

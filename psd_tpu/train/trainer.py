@@ -88,10 +88,20 @@ def make_train_step(dadd: DADD, tx: optax.GradientTransformation,
         )
         updates, new_opt = tx.update(grads, state.opt_state, state.params["params"])
         new_params = optax.apply_updates(state.params["params"], updates)
+        accum = getattr(tcfg, "accumulate_grad_batches", 1) or 1
+        if accum > 1:
+            # optax.MultiSteps: params change only on real optimizer steps.
+            # EMA start/every count OPTIMIZER steps (Lightning global_step
+            # semantics, ema_callback.py:414-472); on pure accumulation
+            # micro-steps we pass step=-1 so ema_update's start-gate blocks.
+            applied = new_opt.mini_step == 0
+            ema_step = jnp.where(applied, new_opt.gradient_step - 1, -1)
+        else:
+            ema_step = state.step
         new_ema = ema_update(
             state.ema,
             new_params,
-            state.step,
+            ema_step,
             decay=tcfg.ema_decay,
             start_step=tcfg.update_starting_at_step,
             every=tcfg.update_every_n_steps,

@@ -233,3 +233,135 @@ def test_checkpoint_roundtrip(tmp_path):
     )
     assert mgr.latest_step() == 0
     mgr.close()
+
+
+# ---- gradient accumulation (reference: Trainer(accumulate_grad_batches=k),
+# training_pipeline_ip.py:117; VERDICT r3 item 3) --------------------------
+
+
+class _DetLossModel:
+    """tiny_dadd with an rng-FREE train loss.
+
+    accum=2 at B/2 can only match accum=1 at B exactly if both see the same
+    per-sample (noise, t) draws; the real loss folds rng per micro-step. A
+    deterministic surrogate (t and pseudo-noise derived from the batch
+    itself, real UNet + conditioning underneath) isolates the accumulation
+    machinery, which is what this test pins.
+    """
+
+    def __init__(self, dadd):
+        self._dadd = dadd
+        self.cfg = dadd.cfg
+
+    def train_loss(self, p, batch, rng):
+        d = self._dadd
+        lat = batch["latents"]
+        t = (batch["labels"] * 100).astype(jnp.int32) + 100
+        noise = jnp.roll(lat, 1, axis=-1)
+        noisy = d.schedule.q_sample(lat, t, noise)
+        cond = d.core.apply(
+            p, batch["labels"], batch["clip_feats"], None, False, False,
+            1.0, None, method=d.core.prepare_conditioning,
+        )
+        eps = d.core.apply(p, noisy, t, cond, 0.0, method=d.core.eps)
+        per = jnp.mean((eps.astype(jnp.float32) - noise) ** 2, axis=(1, 2, 3))
+        loss = jnp.mean(per)
+        return loss, {"loss": loss}
+
+
+def _accum_batch(B):
+    return {
+        "latents": jax.random.normal(jax.random.PRNGKey(1), (B, 4, 4, 4)),
+        "labels": jnp.tile(jnp.arange(4.0), B // 4),
+        "clip_feats": jax.random.normal(jax.random.PRNGKey(2), (B, 17, 32)),
+    }
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum=2 at B/2 follows the same update trajectory as accum=1 at B."""
+    from psd_tpu.train import make_train_step
+
+    B, n_opt_steps = 8, 3
+    batch = _accum_batch(B)
+    finals = {}
+    for accum in (1, 2):
+        real = tiny_dadd()
+        real.cfg.training.accumulate_grad_batches = accum
+        real.cfg.training.update_starting_at_step = 0
+        real.cfg.training.update_every_n_steps = 1
+        model = _DetLossModel(real)
+        tx = build_optimizer(real.cfg, steps_per_epoch=10)
+        state, tx = create_train_state(real, jax.random.PRNGKey(0), tx=tx,
+                                       image_size=32)
+        step_fn = jax.jit(make_train_step(model, tx))
+        rng = jax.random.PRNGKey(3)
+        for _ in range(n_opt_steps):
+            if accum == 1:
+                state, _ = step_fn(state, batch, rng)
+            else:
+                for half in (jax.tree_util.tree_map(lambda x: x[: B // 2], batch),
+                             jax.tree_util.tree_map(lambda x: x[B // 2:], batch)):
+                    state, _ = step_fn(state, half, rng)
+        finals[accum] = jax.device_get(state)
+
+    # per-sample-mean loss ⇒ mean of half-batch grads == full-batch grad,
+    # so AdamW + schedule + EMA must land on identical weights
+    leaves1 = jax.tree_util.tree_leaves(finals[1].params)
+    leaves2 = jax.tree_util.tree_leaves(finals[2].params)
+    for a, b in zip(leaves1, leaves2):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+    assert int(finals[1].ema.count) == int(finals[2].ema.count) == n_opt_steps
+    for a, b in zip(jax.tree_util.tree_leaves(finals[1].ema.params),
+                    jax.tree_util.tree_leaves(finals[2].ema.params)):
+        np.testing.assert_allclose(a, b, rtol=2e-4, atol=1e-6)
+
+
+def test_grad_accumulation_micro_step_is_a_noop():
+    """Between optimizer steps: params frozen, EMA not advanced; the k-th
+    micro-step applies the update (real stochastic loss path)."""
+    from psd_tpu.train import make_train_step
+
+    model = tiny_dadd()
+    model.cfg.training.accumulate_grad_batches = 2
+    model.cfg.training.update_starting_at_step = 0
+    model.cfg.training.update_every_n_steps = 1
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    p0 = jax.device_get(state.params)
+    step_fn = jax.jit(make_train_step(model, tx))
+    batch = _accum_batch(4)
+
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+    p1 = jax.device_get(state.params)
+    for a, b in zip(jax.tree_util.tree_leaves(p0),
+                    jax.tree_util.tree_leaves(p1)):
+        np.testing.assert_array_equal(a, b)
+    assert int(state.ema.count) == 0
+
+    state, _ = step_fn(state, batch, jax.random.PRNGKey(3))
+    p2 = state.params
+    changed = any(
+        not np.allclose(a, b)
+        for a, b in zip(jax.tree_util.tree_leaves(p1),
+                        jax.tree_util.tree_leaves(jax.device_get(p2)))
+    )
+    assert changed, "second micro-step must apply the optimizer update"
+    assert int(state.ema.count) == 1
+
+
+def test_grad_accumulation_on_dp_mesh():
+    """MultiSteps state shards/donates cleanly through the mesh train step."""
+    mesh = create_mesh(MeshConfig(dp=8))
+    model = tiny_dadd()
+    model.cfg.training.accumulate_grad_batches = 2
+    tx = build_optimizer(model.cfg, steps_per_epoch=10)
+    state, tx = create_train_state(model, jax.random.PRNGKey(0), tx=tx,
+                                   image_size=32)
+    state = shard_train_state(state, mesh)
+    step_fn = compile_train_step(model, tx, mesh)
+    batch = shard_batch(mesh, _accum_batch(8))
+    for _ in range(2):
+        state, metrics = step_fn(state, batch, jax.random.PRNGKey(3))
+    assert np.isfinite(float(metrics["loss"]))
+    assert int(jax.device_get(state.opt_state.gradient_step)) == 1
