@@ -168,3 +168,171 @@ def test_tome_block_mode_duplicate_regions_attention_exactness():
     y = np.asarray(blk.apply(params, x, ctx)).reshape(B, H // 2, 2, W // 2, 2, C)
     np.testing.assert_allclose(y[:, :, 0, :, 0], y[:, :, 1, :, 1], rtol=1e-5)
     np.testing.assert_allclose(y[:, :, 0, :, 0], y[:, :, 0, :, 1], rtol=1e-5)
+
+
+# ---- structural probes (VERDICT r3 item 6): the speedup's existence, not
+# just its outputs. A regression that silently ran the full graph on
+# non-key steps would pass every output-level test above while erasing the
+# lever's value; these pin WHICH blocks each phase/branch executes. --------
+
+
+def _intermediate_keys(unet, params, args, **apply_kw):
+    _, var = unet.apply(params, *args, capture_intermediates=True,
+                        mutable=["intermediates"], **apply_kw)
+    flat = jax.tree_util.tree_flatten_with_path(var["intermediates"])[0]
+    keys = set()
+    for path, _ in flat:
+        for p in path:
+            keys.add(getattr(p, "key", getattr(p, "name", str(p))))
+    return keys
+
+
+def test_shallow_phase_executes_only_shallow_blocks():
+    """phase='shallow' runs conv_in → down block 0 → LAST up block; the
+    deep blocks (down 1+, mid, up 0..n-2) must be absent from the traced
+    module set."""
+    unet, params, x, t, ctx = _unet_setup()
+    _, deep = unet.apply(params, x, t, ctx, 0.5, phase="deep")
+    keys = _intermediate_keys(unet, params, (x, t, ctx, 0.5),
+                              phase="shallow", cached=deep)
+    assert any(k.startswith("down_blocks_0_") for k in keys)
+    assert any(k.startswith("up_blocks_1_") for k in keys)
+    deep_blocks = [k for k in keys
+                   if k.startswith(("down_blocks_1", "mid_block", "up_blocks_0"))]
+    assert not deep_blocks, f"shallow phase entered deep blocks: {deep_blocks}"
+    assert not any(k.startswith("down_blocks_0_downsamplers") for k in keys)
+
+
+def test_decode_phase_executes_only_decoder_blocks():
+    """phase='decode' (encoder propagation) never re-enters conv_in/down/mid."""
+    unet, params, x, t, ctx = _unet_setup()
+    cached = unet.apply(params, x, t, ctx, 0.5, phase="encode")
+    keys = _intermediate_keys(unet, params, (x, t, ctx, 0.5),
+                              phase="decode", cached=cached)
+    assert any(k.startswith("up_blocks_0_") for k in keys)
+    assert any(k.startswith("up_blocks_1_") for k in keys)
+    enc_blocks = [k for k in keys
+                  if k.startswith(("down_blocks", "mid_block", "conv_in"))]
+    assert not enc_blocks, f"decode phase entered encoder blocks: {enc_blocks}"
+
+
+def _iter_subjaxprs(p):
+    # duck-typed: ClosedJaxpr has .jaxpr, Jaxpr has .eqns (jax.core paths
+    # for these classes are deprecated/moved across jax versions)
+    if hasattr(p, "jaxpr"):
+        yield p.jaxpr
+    elif hasattr(p, "eqns"):
+        yield p
+    elif isinstance(p, (tuple, list)):
+        for q in p:
+            yield from _iter_subjaxprs(q)
+
+
+def _count_prim(jaxpr, name):
+    n = 0
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            n += 1
+        for param in eqn.params.values():
+            for sub in _iter_subjaxprs(param):
+                n += _count_prim(sub, name)
+    return n
+
+
+def _find_eqns(jaxpr, name, out):
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name == name:
+            out.append(eqn)
+        for param in eqn.params.values():
+            for sub in _iter_subjaxprs(param):
+                _find_eqns(sub, name, out)
+    return out
+
+
+def test_deepcache_scan_nonkey_branch_has_no_deep_convs():
+    """In the compiled deep-cache sampler, the lax.cond inside the scan must
+    carry the FULL conv count in one branch and the SHALLOW count in the
+    other — matching the standalone phase traces exactly. If a regression
+    made the 'shallow' branch run the whole graph, the branch conv counts
+    would equalize and this fails."""
+    model = tiny_dadd()
+    params = model.init_core(jax.random.PRNGKey(0), 32)
+    n_tok = 3 * model.core_cfg.num_aoe_tokens
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, n_tok, 32))
+
+    from functools import partial
+
+    impl = partial(model._sample_impl, image_size=32, steps=10, eta=0.0,
+                   shared_noise=False, do_cfg=False, encoder_stride=5,
+                   cache_mode="deep", sampler="ddim")
+    jx = jax.make_jaxpr(impl)(
+        params, cond, jnp.zeros_like(cond), jax.random.PRNGKey(2),
+        jax.random.PRNGKey(3), jnp.float32(1.0), jnp.float32(1.0))
+
+    # reference conv counts from the standalone phase traces
+    x = jnp.zeros((2, 4, 4, 4))
+    t = jnp.zeros((2,), jnp.int32)
+    full_tr = jax.make_jaxpr(
+        lambda p, x, t, c: model.core.apply(p, x, t, c, 1.0,
+                                            method=model.core.eps_deep)
+    )(params, x, t, cond)
+    _, deep_shape = jax.eval_shape(
+        lambda p, x, t, c: model.core.apply(p, x, t, c, 1.0,
+                                            method=model.core.eps_deep),
+        params, x, t, cond)
+    cache = jnp.zeros(deep_shape.shape, deep_shape.dtype)
+    shallow_tr = jax.make_jaxpr(
+        lambda p, x, t, c, h: model.core.apply(p, x, t, c, h, 1.0,
+                                               method=model.core.eps_shallow)
+    )(params, x, t, cond, cache)
+    n_full = _count_prim(full_tr.jaxpr, "conv_general_dilated")
+    n_shallow = _count_prim(shallow_tr.jaxpr, "conv_general_dilated")
+    assert n_shallow < n_full // 2, (n_shallow, n_full)
+
+    scans = _find_eqns(jx.jaxpr, "scan", [])
+    assert scans, "sampler lost its lax.scan"
+    conds = []
+    for s in scans:
+        _find_eqns(s.params["jaxpr"].jaxpr, "cond", conds)
+    conv_conds = []
+    for c in conds:
+        counts = sorted(_count_prim(b.jaxpr, "conv_general_dilated")
+                        for b in c.params["branches"])
+        if counts[-1] > 0:
+            conv_conds.append(counts)
+    assert conv_conds, "no conv-bearing cond inside the sampling scan"
+    counts = conv_conds[0]
+    assert counts == [n_shallow, n_full], (
+        f"scan cond branches carry conv counts {counts}, expected shallow="
+        f"{n_shallow} / full={n_full}: the non-key branch is not the "
+        "shallow subgraph"
+    )
+
+
+def test_encoder_prop_scan_decode_every_step_encode_gated():
+    """Encoder propagation: the scan's cond gates the ENCODER only; its
+    non-key branch must carry zero convs (cache passthrough)."""
+    model = tiny_dadd()
+    params = model.init_core(jax.random.PRNGKey(0), 32)
+    n_tok = 3 * model.core_cfg.num_aoe_tokens
+    cond = jax.random.normal(jax.random.PRNGKey(1), (2, n_tok, 32))
+    from functools import partial
+
+    impl = partial(model._sample_impl, image_size=32, steps=10, eta=0.0,
+                   shared_noise=False, do_cfg=False, encoder_stride=5,
+                   cache_mode="encoder", sampler="ddim")
+    jx = jax.make_jaxpr(impl)(
+        params, cond, jnp.zeros_like(cond), jax.random.PRNGKey(2),
+        jax.random.PRNGKey(3), jnp.float32(1.0), jnp.float32(1.0))
+    scans = _find_eqns(jx.jaxpr, "scan", [])
+    conds = []
+    for s in scans:
+        _find_eqns(s.params["jaxpr"].jaxpr, "cond", conds)
+    assert conds, "encoder-prop sampler lost its gating cond"
+    for c in conds:
+        counts = sorted(_count_prim(b.jaxpr, "conv_general_dilated")
+                        for b in c.params["branches"])
+        assert counts[0] == 0, (
+            f"encoder-prop non-key branch runs {counts[0]} convs; it must "
+            "be a pure cache passthrough"
+        )
