@@ -589,12 +589,29 @@ class DADD:
         separate call, inference_pipeline_ip.py:473-486)."""
         steps = sampling_steps or self.cfg.diffusion.sampling_steps
         do_cfg = cond_uncond is not None
-        static = dict(image_size=image_size, steps=steps, eta=eta,
-                      shared_noise=shared_noise, do_cfg=do_cfg,
-                      encoder_stride=encoder_stride, cache_mode=cache_mode,
-                      sampler=sampler)
+        jfn = self._get_jitted_generate(
+            image_size=image_size, steps=steps, eta=eta,
+            shared_noise=shared_noise, do_cfg=do_cfg,
+            encoder_stride=encoder_stride, cache_mode=cache_mode,
+            sampler=sampler)
+        uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
+        return jfn(
+            core_params, vae_params, cond, uncond_arg, key,
+            # never reuse the init-noise key for the eta-noise stream
+            eta_key if eta_key is not None else jax.random.fold_in(key, 1),
+            jnp.asarray(steer_scale, jnp.float32),
+            jnp.asarray(guidance_scale, jnp.float32),
+        )
+
+    def _get_jitted_generate(self, **static):
         from ..core.mode import is_training
 
+        # canonicalize defaulted statics so generate() and generate_cost()
+        # resolve to the SAME cached jit (and thus the same compiled program)
+        for k, v in (("eta", 0.0), ("shared_noise", True), ("do_cfg", False),
+                     ("encoder_stride", 1), ("cache_mode", "encoder"),
+                     ("sampler", "ddim")):
+            static.setdefault(k, v)
         cache_key = ("generate",) + tuple(sorted(static.items())) + (is_training(),)
         cache = getattr(self, "_sample_cache", None)
         if cache is None:
@@ -609,14 +626,66 @@ class DADD:
                 return jnp.clip(imgs.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
 
             cache[cache_key] = jax.jit(_gen)
-        uncond_arg = cond_uncond if do_cfg else jnp.zeros_like(cond)
-        return cache[cache_key](
-            core_params, vae_params, cond, uncond_arg, key,
-            # never reuse the init-noise key for the eta-noise stream
-            eta_key if eta_key is not None else jax.random.fold_in(key, 1),
-            jnp.asarray(steer_scale, jnp.float32),
-            jnp.asarray(guidance_scale, jnp.float32),
-        )
+        return cache[cache_key]
+
+    def generate_cost(
+        self,
+        core_params,
+        vae_params,
+        cond: jnp.ndarray,
+        key: jax.Array,
+        image_size: int = 256,
+        sampling_steps: Optional[int] = None,
+        **static_kw,
+    ) -> Dict[str, float]:
+        """XLA cost_analysis of the EXACT compiled generate program.
+
+        Returns {"flops", "bytes", ...} for one batch: the machine-checked
+        basis for bench.py's ceiling/MFU fields — the same jitted function
+        `generate` dispatches, lowered AOT, so the numbers can never drift
+        from the benchmarked program.
+
+        XLA's cost_analysis counts a `lax.scan` body ONCE regardless of
+        trip count, so the full-program number alone under-reports the
+        sampler by ~steps×. The total is therefore composed as
+        full_program + (steps-1) × one-eps-step, where the step program is
+        the same `core.eps` the scan body calls, lowered standalone at the
+        identical shapes (the remaining scan-body pointwise DDIM update is
+        counted once in the full program and is <0.1% of a step)."""
+        steps = sampling_steps or self.cfg.diffusion.sampling_steps
+        jfn = self._get_jitted_generate(
+            image_size=image_size, steps=steps,
+            eta=static_kw.pop("eta", 0.0),
+            shared_noise=static_kw.pop("shared_noise", True),
+            do_cfg=False, **static_kw)
+        lowered = jfn.lower(
+            core_params, vae_params, cond, jnp.zeros_like(cond), key,
+            jax.random.fold_in(key, 1), jnp.float32(1.0), jnp.float32(1.0))
+
+        def _cost(lw):
+            c = lw.compile().cost_analysis()
+            if isinstance(c, (list, tuple)):
+                c = c[0]
+            return (float(c.get("flops", 0.0)),
+                    float(c.get("bytes accessed", 0.0)))
+
+        full_flops, full_bytes = _cost(lowered)
+
+        B = cond.shape[0]
+        lat = image_size // 8
+
+        def _eps(p, x, t, c):
+            return self.core.apply(p, x, t, c, 0.0, method=self.core.eps)
+
+        step_lowered = jax.jit(_eps).lower(
+            core_params, jnp.zeros((B, lat, lat, 4), jnp.float32),
+            jnp.zeros((B,), jnp.int32), cond)
+        step_flops, step_bytes = _cost(step_lowered)
+        return {"flops": full_flops + (steps - 1) * step_flops,
+                "bytes": full_bytes + (steps - 1) * step_bytes,
+                "full_program_flops": full_flops,
+                "eps_step_flops": step_flops,
+                "steps": steps}
 
     def sample(
         self,
