@@ -33,9 +33,13 @@ bench-suite:
 	bash scripts/run_bench_suite.sh
 
 # re-gate the turbo serving points on the CURRENT weights before enabling
-# them in production (docs/serving.md)
+# them in production (docs/serving.md): per-trajectory table + the
+# distribution-level FID/CMMD gate (exact vs each serving point)
 quality-gate:
-	python scripts/check_stride_quality.py --out bench_turbo_quality.json
+	python scripts/check_stride_quality.py --train-steps 500 \
+	  --out bench_turbo_quality.json
+	python scripts/check_turbo_distribution.py --train-steps 500 \
+	  --out bench_turbo_distribution.json
 
 lint:
 	python -m ruff check psd_tpu tests || true

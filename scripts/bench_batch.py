@@ -12,6 +12,7 @@ batch wins after kernel/VMEM changes, bench.py's BATCH should follow.
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -30,6 +31,8 @@ def main() -> None:
     ap.add_argument("--batches", type=str, default="4,8,12,16")
     ap.add_argument("--steps", type=int, default=50)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the sweep as a JSON artifact")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -89,9 +92,24 @@ def main() -> None:
             assert np.isfinite(s)
             times[B].append(time.perf_counter() - t0)
 
+    rows = []
     for B in batches:
         t = min(times[B])
+        rows.append({"batch": B, "s_per_batch": round(t, 4),
+                     "img_per_s": round(B / t, 4)})
         print(f"  B={B:2d}  {t:7.3f} s/batch  {B / t:6.3f} img/s")
+    best = max(rows, key=lambda r: r["img_per_s"])
+    report = {
+        "metric": "exact_path_batch_sweep",
+        "steps": args.steps, "size": args.size,
+        "rounds": ROUNDS, "timing": "interleaved min",
+        "rows": rows,
+        "best_batch": best["batch"],
+        "best_img_per_s": best["img_per_s"],
+    }
+    print(json.dumps(report))
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -12,6 +12,7 @@ this script tracks (docs/perf_notes.md "fused resblock").
 from __future__ import annotations
 
 import argparse
+import json
 import sys
 import time
 from pathlib import Path
@@ -61,6 +62,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=512)
+    ap.add_argument("--out", type=str, default=None,
+                    help="also write the result as a JSON artifact")
     args = ap.parse_args()
     enable_compile_cache()
     print(f"devices: {jax.devices()} B={args.batch} size={args.size}")
@@ -77,10 +80,22 @@ def main():
             assert np.isfinite(s)
             times[name].append(time.perf_counter() - t0)
 
+    rows = []
     for name, ts in times.items():
         ms = min(ts) / REPS * 1e3
+        rows.append({"variant": name, "ms_per_batch": round(ms, 2),
+                     "img_per_s_decode_only": round(args.batch / (ms / 1e3), 3)})
         print(f"  {name} {ms:8.2f} ms/batch "
               f"({args.batch / (ms / 1e3):.2f} img/s decode-only)")
+    report = {
+        "metric": "vae_decode_512",
+        "batch": args.batch, "size": args.size,
+        "reps": REPS, "rounds": ROUNDS, "timing": "interleaved min",
+        "rows": rows,
+    }
+    print(json.dumps(report))
+    if args.out:
+        Path(args.out).write_text(json.dumps(report, indent=1))
 
 
 if __name__ == "__main__":

@@ -87,7 +87,6 @@ def synth_train(cfg, steps: int, *, image_size: int = 256, batch: int = 8):
     from psd_tpu.train import build_optimizer, make_train_step
     from psd_tpu.train.ema import ema_init
     from psd_tpu.train.trainer import TrainState
-    from psd_tpu.utils.fast_init import fast_init
 
     core_cfg = core_config_from(cfg, remat=True, dtype=jnp.bfloat16)
     model = DADD(cfg, core_cfg=core_cfg)
@@ -96,13 +95,18 @@ def synth_train(cfg, steps: int, *, image_size: int = 256, batch: int = 8):
     c_dim = core_cfg.clip_hidden_dim
     n_cls = cfg.dataset.num_classes
 
-    params = fast_init(
-        model.core,
-        {"params": jax.random.PRNGKey(0), "noise": jax.random.PRNGKey(0)},
-        jnp.zeros((1, lat, lat, 4)), jnp.zeros((1,), jnp.int32),
-        jnp.zeros((1,)), jnp.zeros((1, n_pos, c_dim)), 0.0,
-    )
-    tx = build_optimizer(cfg, steps_per_epoch=max(steps, 1))
+    # REAL flax init (norm scales = 1, proper fan-in variance) — fast_init's
+    # every-leaf N(0, 0.02²) fill is a throughput-only init that training
+    # cannot recover from in a few hundred steps (ADVICE r3). Param shapes
+    # are spatial-size-independent, so init at a small size to keep the
+    # one-off init trace cheap.
+    params = model.init_core(jax.random.PRNGKey(0), image_size=128)
+    # Spread warmup+cosine across the N steps: the epoch-wise schedule
+    # computes epoch = step // steps_per_epoch, so steps_per_epoch must
+    # partition the run into max_epochs epochs — passing `steps` directly
+    # pins every step to epoch 0 = warmup start = lr·0.01 (ADVICE r3).
+    tx = build_optimizer(
+        cfg, steps_per_epoch=max(steps // cfg.training.max_epochs, 1))
     state = TrainState(
         step=jnp.zeros((), jnp.int32),
         params=params,
@@ -210,21 +214,36 @@ def main() -> None:
             0.0,
         ))
         weights_note = "random-init (upper bound; see --train-steps)"
-    vae_params = bf16(fast_init(
-        base_model.vae, jax.random.PRNGKey(1),
-        jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
-        jax.random.PRNGKey(2),
-    ))
+    if args.train_steps > 0:
+        # REAL flax init for the decoder: fast_init's N(0,0.02) fill zeroes
+        # the GroupNorm scales, collapsing decoded images toward a constant
+        # — PSNR through that decoder would mask exactly the latent
+        # differences this gate measures (same reasoning as
+        # check_turbo_distribution.py's backbones).
+        vae_params = bf16(base_model.vae.init(
+            jax.random.PRNGKey(1),
+            jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
+            jax.random.PRNGKey(2),
+        ))
+    else:
+        vae_params = bf16(fast_init(
+            base_model.vae, jax.random.PRNGKey(1),
+            jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
+            jax.random.PRNGKey(2),
+        ))
     n_tok = 3 * core_cfg.num_aoe_tokens
     if args.train_steps > 0:
-        # in-distribution conditioning: source→target MES progression over
-        # the trained per-class CLIP anchors, through prepare_conditioning
+        # IN-distribution conditioning: training always pairs clip feats of
+        # class y with label y and source==target (delta tokens = 0, as the
+        # reference trains, diffusion_module_ip.py:392-445) — so the gate
+        # conditions the same way (ADVICE r3: a src≠tgt progression path
+        # the synthetic training never exercised would measure feature
+        # drift in an arbitrary regime, not trained behavior).
         n_cls = cfg.dataset.num_classes
         tgt = jnp.tile(jnp.arange(n_cls, dtype=jnp.float32),
                        (args.batch + n_cls - 1) // n_cls)[:args.batch]
-        src = jnp.maximum(tgt - 1.0, 0.0)
-        feats = anchors[src.astype(jnp.int32)]
-        cond = base_model.prepare_inference_cond(params, tgt, src, feats)
+        feats = anchors[tgt.astype(jnp.int32)]
+        cond = base_model.prepare_inference_cond(params, tgt, tgt, feats)
     else:
         cond = jax.random.normal(rng, (args.batch, n_tok, 768), jnp.float32)
     checksum = jax.jit(lambda t: t.astype(jnp.float32).sum())
