@@ -7,6 +7,11 @@ docs/perf_notes.md). The headline metric is per-chip img/s; if a larger
 batch wins after kernel/VMEM changes, bench.py's BATCH should follow.
 
   python scripts/bench_batch.py [--batches 4,8,12,16] [--steps 50]
+
+--turbo sweeps the TURBO serving configuration (bench.py's TURBO dict:
+DPM-25 + block-ToMe 0.5 + DeepCache stride 5) instead — its per-step work
+is ~4× lighter, so fixed overheads (dispatch, VAE, key steps) take a
+larger share and the optimal batch can differ from the exact path's.
 """
 
 from __future__ import annotations
@@ -33,6 +38,9 @@ def main() -> None:
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", type=str, default=None,
                     help="also write the sweep as a JSON artifact")
+    ap.add_argument("--turbo", action="store_true",
+                    help="sweep the turbo serving config (bench.py TURBO) "
+                         "instead of the exact path")
     args = ap.parse_args()
     batches = [int(b) for b in args.batches.split(",")]
 
@@ -41,11 +49,21 @@ def main() -> None:
     from psd_tpu.models.vae import VAEConfig
     from psd_tpu.utils.fast_init import enable_compile_cache, fast_init
 
+    turbo = None
+    if args.turbo:
+        import bench
+
+        turbo = bench.TURBO
+        args.steps = turbo["steps"]
+
     enable_compile_cache()
     print(f"devices: {jax.devices()}")
     cfg = Config()
     cfg.diffusion.sampling_steps = args.steps
-    core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16)
+    core_cfg = core_config_from(
+        cfg, remat=False, dtype=jnp.bfloat16,
+        tome_ratio=turbo["tome_ratio"] if turbo else 0.0,
+        tome_mode=turbo["tome_mode"] if turbo else "branch")
     model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=jnp.bfloat16))
     rng = jax.random.PRNGKey(0)
     lat = args.size // 8
@@ -76,9 +94,15 @@ def main() -> None:
     }
 
     def gen(B, key):
+        kw = {}
+        if turbo:
+            kw = dict(encoder_stride=turbo["encoder_stride"],
+                      cache_mode=turbo["cache_mode"],
+                      sampler=turbo["sampler"])
         return model.generate(
             params, vae_params, conds[B], key, image_size=args.size,
-            sampling_steps=args.steps, steer_scale=1.0, shared_noise=False)
+            sampling_steps=args.steps, steer_scale=1.0, shared_noise=False,
+            **kw)
 
     for B in batches:  # compile+warm
         s = np.asarray(checksum(gen(B, jax.random.PRNGKey(10))))
@@ -100,9 +124,11 @@ def main() -> None:
         print(f"  B={B:2d}  {t:7.3f} s/batch  {B / t:6.3f} img/s")
     best = max(rows, key=lambda r: r["img_per_s"])
     report = {
-        "metric": "exact_path_batch_sweep",
+        "metric": ("turbo_path_batch_sweep" if turbo
+                   else "exact_path_batch_sweep"),
         "steps": args.steps, "size": args.size,
         "rounds": ROUNDS, "timing": "interleaved min",
+        "turbo_config": turbo,
         "rows": rows,
         "best_batch": best["batch"],
         "best_img_per_s": best["img_per_s"],
