@@ -55,6 +55,10 @@ def build_argparser():
     p.add_argument("--loss", type=str, default="ce", choices=["ce", "focal"])
     p.add_argument("--focal-gamma", type=float, default=2.0)
     p.add_argument("--label-smoothing", type=float, default=0.0)
+    p.add_argument("--accumulate-grad-batches", type=int, default=1,
+                   help="average grads over k micro-batches per optimizer "
+                        "step (reference: pl.Trainer(accumulate_grad_batches)"
+                        ", classification/train.py:250)")
     p.add_argument("--freeze-backbone-epochs", type=int, default=0)
     p.add_argument("--dropout", type=float, default=0.2)
     p.add_argument("--early-stop-patience", type=int, default=0)
@@ -87,6 +91,7 @@ _YAML_TO_ARG = {
     "training.weight_decay": "weight_decay",
     "training.optimizer": "optimizer",
     "training.loss_type": "loss",
+    "training.accumulate_grad_batches": "accumulate_grad_batches",
     "training.focal_gamma": "focal_gamma",
     "training.label_smoothing": "label_smoothing",
     "logging.save_top_k": "save_top_k",
@@ -200,10 +205,19 @@ def main(argv=None):
         tx = optax.adam(args.lr)
     else:
         tx = optax.adamw(args.lr, weight_decay=args.weight_decay)
+    accum = max(args.accumulate_grad_batches, 1)
+    # the cosine horizon counts OPTIMIZER steps; with accumulation an epoch
+    # contains batches//k of those
     sched = optax.cosine_decay_schedule(args.lr, args.epochs * max(
-        len(train_ds) // args.batch_size, 1))
+        len(train_ds) // args.batch_size // accum, 1))
     tx = optax.chain(optax.clip_by_global_norm(1.0),
                      optax.scale_by_schedule(lambda s: sched(s) / args.lr), tx)
+    if accum > 1:
+        # reference: pl.Trainer(accumulate_grad_batches=k) for the classifier
+        # too (classification/train.py:250, train_regression.py:188); as in
+        # train/optim.py, clipping sits inside so it clips the ACCUMULATED
+        # gradient at the real optimizer step
+        tx = optax.MultiSteps(tx, every_k_schedule=accum)
     opt_state = tx.init(variables["params"])
 
     def loss_fn(params, batch_stats, batch, key, train):

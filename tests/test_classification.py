@@ -137,6 +137,28 @@ def test_classifier_smoke_train(cls_dataset, tmp_path):
     assert len(list(out.glob("epoch*.npz"))) == 1
 
 
+def test_classifier_grad_accumulation_smoke(cls_dataset, tmp_path):
+    """--accumulate-grad-batches runs end-to-end (reference wires it into
+    pl.Trainer for the classifier too, classification/train.py:250); the
+    MultiSteps-wrapped optimizer must survive jit/donation and still
+    produce checkpoints."""
+    from psd_tpu.pipelines.classify import main
+
+    hist = main([
+        "--data-dir", str(cls_dataset),
+        "--backbone", "resnet18",
+        "--image-size", "32",
+        "--batch-size", "4",
+        "--accumulate-grad-batches", "2",
+        "--epochs", "1",
+        "--max-steps-per-epoch", "4",
+        "--save-top-k", "1",
+        "--output-dir", str(tmp_path / "cls_accum"),
+    ])
+    assert len(hist) == 1 and "qwk" in hist[0]
+    assert (tmp_path / "cls_accum" / "last.npz").exists()
+
+
 @pytest.mark.slow
 def test_classifier_freeze_backbone_epochs(cls_dataset, tmp_path):
     """--freeze-backbone-epochs N: backbone params bit-identical during the
