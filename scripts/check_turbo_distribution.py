@@ -63,8 +63,9 @@ def main() -> None:
                     help="images per set (rounded down to a batch multiple)")
     ap.add_argument("--train-steps", type=int, default=500)
     ap.add_argument("--variants", type=str,
-                    default="dpm50,dpm25,dpm20,tomeb0.5,deep5,"
-                            "tomeb0.5+deep5,dpm25+tomeb0.5+deep5")
+                    default="dpm50,dpm25,dpm20,tome0.5,tomeb0.5,deep5,"
+                            "tome0.5+deep5,tomeb0.5+deep5,dpm25+deep5,"
+                            "dpm25+tome0.5+deep5,dpm25+tomeb0.5+deep5")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     variants = [parse_variant(t) for t in args.variants.split(",")]
@@ -167,12 +168,23 @@ def main() -> None:
             out.append(np.asarray(imgs, np.float32))
         return np.concatenate(out, axis=0)
 
+    # Random-init Inception (bias-free lecun convs + ReLU, ~90 layers)
+    # attenuates activations by orders of magnitude, so raw-feature FID
+    # lands at ~1e-10 and rounds to an unreadable 0.0. FID is homogeneous
+    # of degree 2 in the feature scale, so dividing EVERY set by one shared
+    # constant (the exact set's feature RMS) is a pure unit change — it
+    # makes the numbers readable without touching their ordering or ratios.
+    incep_scale = {"v": None}
+
     def feats_of(images: np.ndarray) -> dict:
-        return {"incep": bank.inception(images), "clip": bank.clip(images)}
+        f = bank.inception(images).astype(np.float64)
+        if incep_scale["v"] is None:
+            incep_scale["v"] = float(np.sqrt(np.mean(f**2))) or 1.0
+        return {"incep": f / incep_scale["v"], "clip": bank.clip(images)}
 
     def dist(fa: dict, fb: dict) -> dict:
         return {
-            "fid": round(float(fid_from_features(fa["incep"], fb["incep"])), 4),
+            "fid": round(float(fid_from_features(fa["incep"], fb["incep"])), 6),
             "cmmd": round(float(compute_cmmd(fa["clip"], fb["clip"])), 6),
         }
 
@@ -187,6 +199,16 @@ def main() -> None:
     f_exact2 = feats_of(gen_set(exact_v, 500))
     floor = dist(f_exact, f_exact2)
     print(f"noise floor (exact vs exact, fresh seeds): {floor}", flush=True)
+    # Signal check: a KNOWN-different distribution (uniform noise images)
+    # at the same sample count. If this is not well above the noise floor,
+    # the backbone/metric pair cannot discriminate here and the per-variant
+    # numbers below carry no information — the artifact must say which.
+    noise_imgs = np.asarray(
+        jax.random.uniform(jax.random.PRNGKey(999),
+                           (n_batches * args.batch, args.size, args.size, 3)),
+        np.float32)
+    signal = dist(f_exact, feats_of(noise_imgs))
+    print(f"signal check (exact vs uniform noise): {signal}", flush=True)
 
     rows = []
     f_dpm50 = None
@@ -201,6 +223,8 @@ def main() -> None:
             "backbones": "real-flax-init random (no pretrained weights in "
                          "env; see module docstring)",
             "noise_floor_fresh_seeds": floor,
+            "signal_check_vs_uniform_noise": signal,
+            "inception_feature_rms": incep_scale["v"],
             "rows": rows,
         }
 

@@ -25,7 +25,7 @@ mkdir -p "$OUT"
   timeout 3000 python bench.py | tee "$OUT/bench.json"
   echo "=== 2/7 turbo quality table (trained weights) ==="
   timeout 5400 python scripts/check_stride_quality.py --train-steps 500 \
-    --variants "dpm25,dpm20,dpm25+tomeb0.5+deep5,tomeb0.5+deep5,tomeb0.5+deep6,enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,tome0.5+deep5" \
+    --variants "dpm25,dpm20,dpm25+deep5,dpm25+tome0.5+deep5,dpm25+tomeb0.5+deep5,tomeb0.5+deep5,enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,tome0.5+deep5" \
     --out "$OUT/bench_turbo_quality.json" | tail -20
   echo "=== 3/7 turbo distribution gate (FID/CMMD) ==="
   timeout 5400 python scripts/check_turbo_distribution.py --train-steps 500 \

@@ -136,3 +136,42 @@ def test_backbone_shapes():
     # torchvision inception_v3 conv/bn trunk: 27,161,264 total − 2,049,000 fc
     # − 3,326,696 aux = 21,785,568
     assert n == 21_785_568, n
+
+
+def test_fid_scale_homogeneity_degree_2():
+    """FID(a·X, a·Y) = a²·FID(X, Y) — the property check_turbo_distribution.py
+    relies on when it divides every feature set by one shared RMS constant
+    (random-init Inception features are ~1e-5 scale; raw FID rounds to 0)."""
+    rng = np.random.default_rng(3)
+    x = rng.standard_normal((64, 16))
+    y = rng.standard_normal((64, 16)) + 0.5
+    base = fid_from_features(x, y)
+    for a in (1e-5, 1e3):
+        scaled = fid_from_features(a * x, a * y)
+        np.testing.assert_allclose(scaled, a * a * base, rtol=1e-6)
+    # and the normalization itself restores readability from tiny features
+    tiny = 1e-6
+    renorm = np.sqrt(np.mean((tiny * x) ** 2))
+    np.testing.assert_allclose(
+        fid_from_features(tiny * x / renorm, tiny * y / renorm),
+        base / np.mean(x**2), rtol=1e-6)
+
+
+def test_turbo_variant_parser_compositions():
+    """parse_variant must decode every composed turbo token the gates and
+    run_bench_suite.sh use (a typo'd sweep would silently gate nothing)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "scripts"))
+    from check_stride_quality import parse_variant
+
+    v = parse_variant("dpm25+tome0.5+deep5")
+    assert v["sampler"] == "dpm" and v["steps"] == 25
+    assert v["tome"] == 0.5 and v["tome_mode"] == "branch"
+    assert v["stride"] == 5 and v["cache_mode"] == "deep"
+    v = parse_variant("tomeb0.5+enc3")
+    assert v["tome_mode"] == "block" and v["tome"] == 0.5
+    assert v["stride"] == 3 and v["cache_mode"] == "encoder"
+    v = parse_variant("dpm50")
+    assert v["sampler"] == "dpm" and v["steps"] == 50 and v["tome"] == 0.0
