@@ -52,7 +52,11 @@ MFU_FLOOR_PCT = 28.0
 # line — the headline `value` stays the reference-exact path.
 # steps=25 + sampler="dpm" is DPM-Solver++(2M)'s accepted quality-neutral
 # operating point (arXiv:2211.01095) vs the 50-step DDIM exact baseline.
-TURBO = dict(tome_ratio=0.5, tome_mode="block",
+# Picked from the TRAINED-WEIGHTS table (bench_turbo_quality.json,
+# synth-trained 500 steps): dpm25+tome0.5+deep5 holds 33.5 dB vs
+# converged DPM at 3.46x ex-VAE; the former block-ToMe point
+# (tome_mode="block") collapses to 16.5 dB on trained weights and is out.
+TURBO = dict(tome_ratio=0.5, tome_mode="branch",
              encoder_stride=5, cache_mode="deep",
              sampler="dpm", steps=25)
 
