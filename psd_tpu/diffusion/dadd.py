@@ -681,10 +681,30 @@ class DADD:
             core_params, jnp.zeros((B, lat, lat, 4), jnp.float32),
             jnp.zeros((B,), jnp.int32), cond)
         step_flops, step_bytes = _cost(step_lowered)
+
+        # MXU-tile-PADDED flops of the same programs (utils/padded_cost):
+        # the algorithmic numbers above bound throughput optimistically —
+        # head_dim-40 attention pads 3.2× on the 128-lane MXU — so the
+        # BINDING ceiling bench.py asserts against is the padded one.
+        # Same scan composition: jaxpr scan bodies count once, so
+        # padded_total = padded_full + (steps-1) × padded_eps_step.
+        from ..utils.padded_cost import padded_flops_jaxpr
+
+        x_args = (core_params, vae_params, cond, jnp.zeros_like(cond), key,
+                  jax.random.fold_in(key, 1), jnp.float32(1.0),
+                  jnp.float32(1.0))
+        padded_full = padded_flops_jaxpr(jax.make_jaxpr(jfn)(*x_args).jaxpr)
+        padded_step = padded_flops_jaxpr(
+            jax.make_jaxpr(_eps)(
+                core_params, jnp.zeros((B, lat, lat, 4), jnp.float32),
+                jnp.zeros((B,), jnp.int32), cond).jaxpr)
         return {"flops": full_flops + (steps - 1) * step_flops,
                 "bytes": full_bytes + (steps - 1) * step_bytes,
                 "full_program_flops": full_flops,
                 "eps_step_flops": step_flops,
+                "padded_flops": padded_full + (steps - 1) * padded_step,
+                "padded_full_program_flops": padded_full,
+                "padded_eps_step_flops": padded_step,
                 "steps": steps}
 
     def sample(

@@ -45,7 +45,7 @@ def mmd2_rbf(
     yy = _sq_dists(y, y)
     xy = _sq_dists(x, y)
 
-    total = jnp.asarray(0.0, jnp.float64) if False else jnp.asarray(0.0)
+    total = jnp.asarray(0.0)
     for sigma in sigmas:
         gamma = 1.0 / (2.0 * sigma**2)
         kxx = jnp.exp(-gamma * xx)

@@ -8,8 +8,8 @@ batch wins after kernel/VMEM changes, bench.py's BATCH should follow.
 
   python scripts/bench_batch.py [--batches 4,8,12,16] [--steps 50]
 
---turbo sweeps the TURBO serving configuration (bench.py's TURBO dict:
-DPM-25 + block-ToMe 0.5 + DeepCache stride 5) instead — its per-step work
+--turbo sweeps the TURBO serving configuration (bench.py's current TURBO
+dict — see bench.py for the quality-gated operating point) — its per-step work
 is ~4× lighter, so fixed overheads (dispatch, VAE, key steps) take a
 larger share and the optimal batch can differ from the exact path's.
 """

@@ -211,7 +211,16 @@ def main() -> None:
     print(f"signal check (exact vs uniform noise): {signal}", flush=True)
 
     rows = []
+    # Converged-DPM baseline computed UP FRONT whenever any dpm variant is
+    # requested (not just when 'dpm50' happens to precede them in
+    # --variants): the solver-vs-degradation split is the point of this
+    # script and must not silently vanish under a reordered list.
     f_dpm50 = None
+    if any(v.get("sampler") == "dpm" for v in variants):
+        dpm50_v = next((v for v in variants if v["name"] == "dpm50"), None)
+        dpm50_v = dpm50_v or parse_variant("dpm50")
+        print("generating converged-DPM (dpm50) baseline set...", flush=True)
+        f_dpm50 = feats_of(gen_set(dpm50_v, 100))
 
     def table() -> dict:
         return {
@@ -230,11 +239,12 @@ def main() -> None:
 
     for v in variants:
         tv = time.perf_counter()
-        f_v = feats_of(gen_set(v, 100))
+        # dpm50's features were already computed for the baseline set above
+        f_v = f_dpm50 if (v["name"] == "dpm50" and f_dpm50 is not None) \
+            else feats_of(gen_set(v, 100))
         row = {"variant": v["name"], **dist(f_exact, f_v)}
-        if v["name"] == "dpm50":
-            f_dpm50 = f_v
-        elif v.get("sampler") == "dpm" and f_dpm50 is not None:
+        if v["name"] != "dpm50" and v.get("sampler") == "dpm" \
+                and f_dpm50 is not None:
             # solver-vs-degradation split: distance to CONVERGED DPM
             d50 = dist(f_dpm50, f_v)
             row["fid_vs_dpm50"] = d50["fid"]
