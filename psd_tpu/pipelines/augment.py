@@ -70,7 +70,13 @@ def collect_pending_jobs(
             if tgt == src:
                 continue
             cls_name = idx_to_class[tgt]
-            stem = f"generated_{path.stem}_to_{tgt}"
+            # the source CLASS is part of the name: the reference's
+            # `{stem}_generated.bmp` (:329) silently overwrites when two
+            # source classes contain identically-named files — on LIMUC the
+            # stems are globally unique so it never fires there, but the
+            # chained product-loop rehearsal (tests/test_product_loop.py)
+            # showed a 3× silent dataset shrink under colliding stems.
+            stem = f"generated_{path.stem}_src{src}_to_{tgt}"
             existing = [
                 out_dir / "train" / cls_name / f"{stem}.{e}"
                 for e in ("bmp", "png")
