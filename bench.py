@@ -62,9 +62,12 @@ MFU_FLOOR_PCT = {
 # synth-trained 500 steps): dpm25+tome0.5+deep5 holds 33.5 dB vs
 # converged DPM at 3.46x ex-VAE; the former block-ToMe point
 # (tome_mode="block") collapses to 16.5 dB on trained weights and is out.
+# vae_quant="int8": W8A8 decoder resblock convs in their measured win
+# region (bench_vae.json: 125.4 -> 115.6 ms/batch-8 at 512², 1.084x;
+# quality: 36.75 dB decode PSNR vs bf16 at 512², check_int8_quality --vae).
 TURBO = dict(tome_ratio=0.5, tome_mode="branch",
              encoder_stride=5, cache_mode="deep",
-             sampler="dpm", steps=25)
+             sampler="dpm", steps=25, vae_quant="int8")
 
 
 def _probe_device(timeout_s: float = 240.0) -> None:
@@ -113,7 +116,8 @@ def main() -> None:
         tome_ratio=TURBO["tome_ratio"], tome_mode=TURBO["tome_mode"],
     )
     turbo_model = DADD(cfg, core_cfg=turbo_core,
-                       vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+                       vae_cfg=VAEConfig(dtype=jnp.bfloat16,
+                                         quant=TURBO["vae_quant"]))
 
     rng = jax.random.PRNGKey(0)
     lat = IMAGE_SIZE // 8

@@ -143,18 +143,28 @@ class ResnetBlock2D(nn.Module):
     eps: float = 1e-5
     groups: int = 32
     quant: str = "none"
+    # empirical int8 win-region, per architecture (scripts/probe_int8.py):
+    # "unet" — win only at ≤32² spatial (0.86× at 64²·320ch, ~2× ≤32²·≥640ch)
+    # "vae"  — the SD VAE decoder's channel ladder wins at LARGE spatial:
+    #          1.79-1.88× at 64²/128²·512ch, 1.57× at 256²·256ch, 1.28× at
+    #          512²·128ch; loses only the 512²·256→128 transition (0.82×)
+    quant_gate: str = "unet"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
     def _q_conv_ok(self, x) -> bool:
-        """int8 convs win ≥2× only at ≤32² spatial (large channel counts);
-        at 64²/320ch the quant overhead outweighs the MXU gain (measured:
-        scripts/probe_int8.py — 0.86× at 64²·320, 1.98× at 32²·640,
-        2.52× at 16²·1280). Inference-only (round() has zero gradient)."""
+        """Empirical per-architecture int8 gate (see quant_gate above).
+        Inference-only (round() has zero gradient)."""
         from ..core.mode import is_training
 
-        return (self.quant == "int8" and x.shape[1] <= 32 and x.shape[2] <= 32
-                and not is_training())
+        if self.quant != "int8" or is_training():
+            return False
+        if self.quant_gate == "vae":
+            cin = x.shape[-1]
+            sp = max(x.shape[1], x.shape[2])
+            return (cin >= 256 and sp <= 256) or (
+                cin >= 128 and cin == self.out_channels)
+        return x.shape[1] <= 32 and x.shape[2] <= 32
 
     @nn.compact
     def __call__(self, x, temb=None, skip=None):

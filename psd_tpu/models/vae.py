@@ -38,6 +38,13 @@ class VAEConfig:
     # fp32 regardless (FinalConv), and the inputs are already bf16-rounded
     # upstream, so operand precision costs pixels nothing measurable.
     final_conv_fp32: bool = False
+    # "int8": W8A8 MXU path for the DECODER resblock convs, gated to the
+    # measured win-region (layers.ResnetBlock2D quant_gate="vae" — 1.3-1.9×
+    # per conv at the 512-/256-/128-channel decoder shapes,
+    # scripts/probe_int8.py --vae). Inference-only, default off; param tree
+    # unchanged (weights quantize inline). Quality-gated like every turbo
+    # lever: scripts/check_int8_quality.py --vae measures decode PSNR.
+    quant: str = "none"
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -70,6 +77,7 @@ class VAEAttention(nn.Module):
 
 class VAEMidBlock(nn.Module):
     channels: int
+    quant: str = "none"  # decoder-side only (encode feeds training latents)
     dtype: jnp.dtype = jnp.bfloat16
     param_dtype: jnp.dtype = jnp.float32
 
@@ -77,9 +85,11 @@ class VAEMidBlock(nn.Module):
     def __call__(self, h):
         kw = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         h = ResnetBlock2D(self.channels, use_temb=False, eps=1e-6,
+                          quant=self.quant, quant_gate="vae",
                           name="resnets_0", **kw)(h)
         h = VAEAttention(name="attentions_0", **kw)(h)
         h = ResnetBlock2D(self.channels, use_temb=False, eps=1e-6,
+                          quant=self.quant, quant_gate="vae",
                           name="resnets_1", **kw)(h)
         return h
 
@@ -125,12 +135,13 @@ class Decoder(nn.Module):
         kw = dict(dtype=cfg.dtype, param_dtype=cfg.param_dtype)
         rev = tuple(reversed(cfg.block_out_channels))
         h = nn.Conv(rev[0], (3, 3), padding=1, name="conv_in", **kw)(z.astype(cfg.dtype))
-        h = VAEMidBlock(rev[0], name="mid_block", dtype=cfg.dtype,
-                        param_dtype=cfg.param_dtype)(h)
+        h = VAEMidBlock(rev[0], name="mid_block", quant=cfg.quant,
+                        dtype=cfg.dtype, param_dtype=cfg.param_dtype)(h)
         n = len(rev)
         for i, ch in enumerate(rev):
             for j in range(cfg.layers_per_block + 1):
                 h = ResnetBlock2D(ch, use_temb=False, eps=1e-6,
+                                  quant=cfg.quant, quant_gate="vae",
                                   name=f"up_blocks_{i}_resnets_{j}", **kw)(h)
             if i < n - 1:
                 h = Upsample2D(ch, name=f"up_blocks_{i}_upsamplers_0", **kw)(h)

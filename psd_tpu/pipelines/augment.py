@@ -117,7 +117,7 @@ def main(argv=None):
         raise SystemExit("--encoder-stride > 1 is incompatible with "
                          "dual-pass CFG (--guidance-scale != 1)")
     model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
-                        tome_mode=args.tome_mode)
+                        tome_mode=args.tome_mode, vae_quant=args.vae_quant)
     core, vae_params, clip_params = load_params(
         model, args.checkpoint, args.seed, image_size, args.ema
     )

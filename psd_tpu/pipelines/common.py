@@ -10,7 +10,8 @@ from ..models.vae import VAEConfig
 
 
 def build_model(cfg: Config, dtype_str: str = "bf16",
-                tome_ratio: float = 0.0, tome_mode: str = "branch") -> DADD:
+                tome_ratio: float = 0.0, tome_mode: str = "branch",
+                vae_quant: str = "none") -> DADD:
     dtype = jnp.bfloat16 if dtype_str == "bf16" else jnp.float32
     if cfg.model.extras.get("tiny", False):
         # smoke-test configuration: tiny UNet/VAE/CLIP (tests + CI)
@@ -38,7 +39,8 @@ def build_model(cfg: Config, dtype_str: str = "bf16",
                     clip_cfg=tiny_clip_config(), dtype=jnp.float32)
     core_cfg = core_config_from(cfg, remat=False, dtype=dtype,
                                 tome_ratio=tome_ratio, tome_mode=tome_mode)
-    return DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=dtype))
+    return DADD(cfg, core_cfg=core_cfg,
+                vae_cfg=VAEConfig(dtype=dtype, quant=vae_quant))
 
 
 def add_turbo_args(p):
@@ -69,6 +71,26 @@ def add_turbo_args(p):
                    help="'ddim' is reference-exact; 'dpm' = DPM-Solver++"
                         "(2M) (arXiv:2211.01095) — pair with 20-25 "
                         "sampling steps where DDIM wants 50")
+    p.add_argument("--vae-quant", type=str, default="none",
+                   choices=["none", "int8"],
+                   help="'int8': W8A8 MXU path for the VAE decoder's "
+                        "resblock convs in their measured win region "
+                        "(1.08x decode at 512², 36.75 dB vs bf16 decode — "
+                        "scripts/probe_int8.py --vae / "
+                        "check_int8_quality.py --vae). Inference-only; "
+                        "same param tree")
+    return p
+
+
+def add_profile_arg(p):
+    """`--profile` on the train / infer / evaluate CLIs (SURVEY §5: tracing
+    built into the product CLIs, not a separate script): captures a
+    jax.profiler trace to <output-dir>/trace (TensorBoard-compatible) and
+    prints a per-phase wall-clock report at exit (utils/profiling). For
+    training, pair with --max-steps to bound the trace size."""
+    p.add_argument("--profile", action="store_true",
+                   help="write a jax.profiler trace to <output-dir>/trace "
+                        "and print a per-phase timing report at exit")
     return p
 
 

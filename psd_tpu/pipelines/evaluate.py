@@ -74,9 +74,10 @@ def build_argparser():
                    help="smoke runs only: proceed with random-init "
                         "Inception/VGG (FID/IPR values are meaningless)")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
-    from .common import add_turbo_args
+    from .common import add_profile_arg, add_turbo_args
 
     add_turbo_args(p)
+    add_profile_arg(p)
     return p
 
 
@@ -354,7 +355,7 @@ def main(argv=None):
     out_root.mkdir(parents=True, exist_ok=True)
 
     model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
-                        tome_mode=args.tome_mode)
+                        tome_mode=args.tome_mode, vae_quant=args.vae_quant)
     if args.encoder_stride > 1 and not cfg.model.use_routing_gates and any(
         s != 1.0 for s in args.scales
     ):
@@ -390,6 +391,14 @@ def main(argv=None):
 
         vgg_params = load_params_npz(args.vgg_params)
 
+    import contextlib
+
+    from ..utils.profiling import PhaseTimer, trace_if
+
+    timer = PhaseTimer()
+    prof_stack = contextlib.ExitStack()
+    if args.profile:
+        prof_stack.enter_context(trace_if(str(out_root / "trace"), enabled=True))
     results: List[EvalResult] = []
     for ckpt in args.checkpoints:
         core, vae_params, clip_params = load_params(
@@ -402,19 +411,21 @@ def main(argv=None):
             run_dir = out_root / run_name
             run_dir.mkdir(parents=True, exist_ok=True)
             writer = AsyncImageWriter() if args.save_images else None
-            fake_np, tput = generate_all(
-                model, core, clip_params, ds, jobs, scale, image_size, steps,
-                args.batch_images, num_classes, args.seed,
-                writer=writer, out_dir=run_dir if args.save_images else None,
-                vae_params=vae_params,
-                encoder_stride=args.encoder_stride,
-                cache_mode=args.cache_mode, sampler=args.sampler,
-            )
+            with timer.phase("generate"):
+                fake_np, tput = generate_all(
+                    model, core, clip_params, ds, jobs, scale, image_size,
+                    steps, args.batch_images, num_classes, args.seed,
+                    writer=writer, out_dir=run_dir if args.save_images else None,
+                    vae_params=vae_params,
+                    encoder_stride=args.encoder_stride,
+                    cache_mode=args.cache_mode, sampler=args.sampler,
+                )
             if writer:
                 writer.close()
-            per_class, overall = evaluate_one_run(
-                real_np, fake_np, bank, args.num_eval_seeds, args.seed
-            )
+            with timer.phase("metrics"):
+                per_class, overall = evaluate_one_run(
+                    real_np, fake_np, bank, args.num_eval_seeds, args.seed
+                )
             res = EvalResult(
                 checkpoint=str(ckpt), scale=scale, per_class=per_class,
                 overall=overall, throughput_img_s=tput,
@@ -425,11 +436,14 @@ def main(argv=None):
                 json.dump(res.to_json(), f, indent=2)
             print(f"[{run_name}] {tput:.2f} img/s overall={overall}")
 
+    prof_stack.close()
     with open(out_root / "comparison.json", "w") as f:
         json.dump([r.to_json() for r in results], f, indent=2)
     from ..metrics.comparison import comparison_table
 
     print(comparison_table([r.to_json() for r in results]))
+    if args.profile:
+        print(f"[profile] trace → {out_root / 'trace'}\n{timer.report()}")
     print(f"Wrote {len(results)} runs → {out_root / 'comparison.json'}")
     return results
 

@@ -56,9 +56,10 @@ def build_argparser() -> argparse.ArgumentParser:
                         "selection is JAX-platform-driven here")
     p.add_argument("--output-dir", type=str, default="outputs/progression")
     p.add_argument("--dtype", type=str, default="bf16", choices=["bf16", "fp32"])
-    from .common import add_turbo_args
+    from .common import add_profile_arg, add_turbo_args
 
     add_turbo_args(p)
+    add_profile_arg(p)
     return p
 
 
@@ -146,7 +147,7 @@ def main(argv=None) -> dict:
     out_dir = Path(args.output_dir)
 
     model = build_model(cfg, args.dtype, tome_ratio=args.tome_ratio,
-                        tome_mode=args.tome_mode)
+                        tome_mode=args.tome_mode, vae_quant=args.vae_quant)
     core, vae_params, clip_params = load_params(
         model, args.checkpoint, args.seed, image_size, args.ema
     )
@@ -170,35 +171,44 @@ def main(argv=None) -> dict:
             "--guidance-scale 1 or a routing-gates checkpoint."
         )
 
+    from ..utils.profiling import PhaseTimer, trace_if
+
+    timer = PhaseTimer()
     t0 = time.perf_counter()
-    clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_img))
-    clip_feats = jnp.tile(clip_feats, (args.mes_steps,) + (1,) * (clip_feats.ndim - 1))
+    with trace_if(str(out_dir / "trace"), enabled=args.profile):
+        with timer.phase("clip_encode"):
+            clip_feats = model.encode_image_clip(clip_params, jnp.asarray(clip_img))
+            clip_feats = jnp.tile(
+                clip_feats, (args.mes_steps,) + (1,) * (clip_feats.ndim - 1))
 
-    cond = model.prepare_inference_cond(
-        core, targets, sources, clip_feats,
-        image_scale=args.image_scale, zero_image=args.zero_image, leace=leace,
-    )
-    uncond = None
-    if do_cfg:
-        uncond = model.prepare_inference_cond(
-            core, targets, sources, clip_feats,
-            image_scale=args.image_scale, zero_image=args.zero_image,
-            zero_aoe=True, leace=leace,
-        )
+        with timer.phase("prepare_cond", sync_value=None):
+            cond = model.prepare_inference_cond(
+                core, targets, sources, clip_feats,
+                image_scale=args.image_scale, zero_image=args.zero_image,
+                leace=leace,
+            )
+            uncond = None
+            if do_cfg:
+                uncond = model.prepare_inference_cond(
+                    core, targets, sources, clip_feats,
+                    image_scale=args.image_scale, zero_image=args.zero_image,
+                    zero_aoe=True, leace=leace,
+                )
 
-    key = jax.random.PRNGKey(args.seed)
-    images = np.asarray(model.generate(
-        core, vae_params, cond, key,
-        image_size=image_size, sampling_steps=steps, eta=args.eta,
-        steer_scale=args.steer_scale if use_rg else 0.0,
-        guidance_scale=guidance, cond_uncond=uncond,
-        shared_noise=True,
-        eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
-        encoder_stride=args.encoder_stride,
-        cache_mode=args.cache_mode,
-        sampler=args.sampler,
-    ))
-    jax.block_until_ready(images)
+        key = jax.random.PRNGKey(args.seed)
+        with timer.phase("generate"):
+            images = np.asarray(model.generate(
+                core, vae_params, cond, key,
+                image_size=image_size, sampling_steps=steps, eta=args.eta,
+                steer_scale=args.steer_scale if use_rg else 0.0,
+                guidance_scale=guidance, cond_uncond=uncond,
+                shared_noise=True,
+                eta_key=jax.random.fold_in(key, 1) if args.eta > 0 else None,
+                encoder_stride=args.encoder_stride,
+                cache_mode=args.cache_mode,
+                sampler=args.sampler,
+            ))
+            jax.block_until_ready(images)
     dt = time.perf_counter() - t0
 
     labels = np.asarray(targets)
@@ -214,6 +224,8 @@ def main(argv=None) -> dict:
         f"Generated {args.mes_steps}-step progression in {dt:.2f}s "
         f"({args.mes_steps / dt:.2f} img/s) → {out_dir}"
     )
+    if args.profile:
+        print(f"[profile] trace → {out_dir / 'trace'}\n{timer.report()}")
     return {"paths": paths, "grid": grid, "seconds": dt, "images": images}
 
 

@@ -64,7 +64,9 @@ def main() -> None:
         cfg, remat=False, dtype=jnp.bfloat16,
         tome_ratio=turbo["tome_ratio"] if turbo else 0.0,
         tome_mode=turbo["tome_mode"] if turbo else "branch")
-    model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+    model = DADD(cfg, core_cfg=core_cfg, vae_cfg=VAEConfig(
+        dtype=jnp.bfloat16,
+        quant=turbo["vae_quant"] if turbo else "none"))
     rng = jax.random.PRNGKey(0)
     lat = args.size // 8
 

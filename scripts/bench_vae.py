@@ -30,9 +30,10 @@ REPS = 5
 ROUNDS = 6
 
 
-def build(B, size, final_conv_fp32=False):
+def build(B, size, final_conv_fp32=False, quant="none"):
     vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16,
-                                  final_conv_fp32=final_conv_fp32))
+                                  final_conv_fp32=final_conv_fp32,
+                                  quant=quant))
     lat = size // 8
     z = jax.random.normal(jax.random.PRNGKey(0), (B, lat, lat, 4), jnp.float32)
     params = fast_init(
@@ -71,6 +72,10 @@ def main():
     variants = {
         "decode (bf16 final conv)": build(args.batch, args.size, False),
         "decode (fp32 final conv)": build(args.batch, args.size, True),
+        # W8A8 decoder resblock convs, vae-gated win region
+        # (scripts/probe_int8.py --vae; quality: check_int8_quality --vae)
+        "decode (int8 resblocks)": build(args.batch, args.size, False,
+                                         quant="int8"),
     }
     times = {n: [] for n in variants}
     for _ in range(ROUNDS):

@@ -29,12 +29,68 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def main_vae(args) -> None:
+    """int8-vs-bf16 VAE DECODE quality: same latents, REAL flax-init
+    decoder weights (fast_init's N(0,0.02) zeroes norm scales and collapses
+    the feature maps — the exact degenerate regime the distribution gate
+    flagged in round 4), report PSNR between the decoded image batches.
+    Unlike the UNet sampling check above, the decoder is a deterministic
+    function of its input, so this number is meaningful with random-but-
+    well-scaled weights: it measures the quant path's numerical error
+    through the real channel ladder, not trajectory luck."""
+    from psd_tpu.models.vae import AutoencoderKL, VAEConfig
+    from psd_tpu.utils.fast_init import enable_compile_cache
+
+    enable_compile_cache()
+    lat = args.size // 8
+    z = jax.random.normal(jax.random.PRNGKey(3),
+                          (args.batch, lat, lat, 4), jnp.float32)
+
+    imgs = {}
+    params = None
+    for quant in ("none", "int8"):
+        vae = AutoencoderKL(VAEConfig(dtype=jnp.bfloat16, quant=quant))
+        if params is None:
+            params = vae.init(
+                jax.random.PRNGKey(1),
+                jnp.zeros((1, args.size, args.size, 3), jnp.bfloat16),
+                jax.random.PRNGKey(2))
+            params = jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.bfloat16)
+                if hasattr(x, "dtype") and x.dtype == jnp.float32 else x,
+                params)
+
+        def dec(p, z, _vae=vae):
+            out = _vae.apply(p, z, method=_vae.decode)
+            return jnp.clip(out.astype(jnp.float32) / 2.0 + 0.5, 0.0, 1.0)
+
+        imgs[quant] = np.asarray(jax.jit(dec)(params, z), np.float64)
+        assert np.isfinite(imgs[quant]).all()
+
+    a, b = imgs["none"], imgs["int8"]
+    mse = float(np.mean((a - b) ** 2))
+    psnr = 10.0 * np.log10(1.0 / max(mse, 1e-12))
+    print(json.dumps({
+        "metric": "int8_vs_bf16_vae_decode_psnr_db",
+        "value": round(psnr, 2),
+        "max_abs_diff": round(float(np.max(np.abs(a - b))), 4),
+        "size": args.size,
+        "batch": args.batch,
+        "weights": "real flax init (bf16 cast)",
+    }))
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--steps", type=int, default=10)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--batch", type=int, default=4)
+    ap.add_argument("--vae", action="store_true",
+                    help="compare int8-vs-bf16 VAE DECODE of the same "
+                         "latents instead of full sampling")
     args = ap.parse_args()
+    if args.vae:
+        return main_vae(args)
 
     from psd_tpu.core.config import Config
     from psd_tpu.diffusion.dadd import DADD, core_config_from

@@ -167,6 +167,8 @@ def main():
             probe_qconv_vae(128, 512, 512, b=b)
             probe_qconv_vae(256, 512, 256, b=b)
             probe_qconv_vae(256, 256, 256, b=b)
+            probe_qconv_vae(512, 256, 128, b=b)
+            probe_qconv_vae(512, 128, 128, b=b)
         return
     probe_dot()
     probe_dot(32768, 1280, 1280)
