@@ -12,6 +12,8 @@
 #   5. bench_train.py                — SD-scale train step throughput
 #   6. bench_batch.py                — exact-path batch sweep (B 4/8/12/16)
 #   7. bench_vae.py                  — VAE 512^2 decode (MFU denominator)
+#   8. bench_serve.py                — GenerationServer e2e (serialized vs
+#                                      pipelined vs split-dispatch)
 #
 # Every artifact is VALIDATED after its step (parses as JSON, non-empty,
 # has the expected metric key); the suite exits non-zero if any artifact
@@ -44,32 +46,36 @@ EOF
 }
 
 {
-  echo "=== 1/7 bench.py (headline + turbo + MFU) ==="
+  echo "=== 1/8 bench.py (headline + turbo + MFU) ==="
   timeout 3000 python bench.py | tee "$OUT/bench.json"
   check "$OUT/bench.json" value
-  echo "=== 2/7 turbo quality table (trained weights) ==="
+  echo "=== 2/8 turbo quality table (trained weights) ==="
   timeout 5400 python scripts/check_stride_quality.py --train-steps 500 \
     --variants "dpm25,dpm20,dpm25+deep5,dpm25+tome0.5+deep5,dpm25+tomeb0.5+deep5,tomeb0.5+deep5,enc2,enc3,deep3,deep5,tome0.5,tomeb0.5,tome0.5+deep5" \
     --out "$OUT/bench_turbo_quality.json" | tail -20
   check "$OUT/bench_turbo_quality.json" rows
-  echo "=== 3/7 turbo distribution gate (FID/CMMD) ==="
-  timeout 5400 python scripts/check_turbo_distribution.py --train-steps 500 \
-    --out "$OUT/bench_turbo_distribution.json" | tail -14
+  echo "=== 3/8 turbo distribution gate (FID/CMMD, mean±std over repeats) ==="
+  timeout 10800 python scripts/check_turbo_distribution.py --train-steps 500 \
+    --out "$OUT/bench_turbo_distribution.json" | tail -16
   check "$OUT/bench_turbo_distribution.json" rows
-  echo "=== 4/7 progression latency ==="
+  echo "=== 4/8 progression latency ==="
   timeout 1800 python scripts/bench_progression.py --out "$OUT/bench_progression.json" | tail -2
   check "$OUT/bench_progression.json" value
-  echo "=== 5/7 train throughput ==="
+  echo "=== 5/8 train throughput ==="
   timeout 1800 python scripts/bench_train.py --batch 8 --out "$OUT/bench_train.json" | tail -2
   check "$OUT/bench_train.json" value
-  echo "=== 6/7 batch sweep ==="
+  echo "=== 6/8 batch sweep ==="
   timeout 3600 python scripts/bench_batch.py --batches 4,8,12,16 \
     --out "$OUT/bench_batch.json" | tail -8
   check "$OUT/bench_batch.json" rows
-  echo "=== 7/7 VAE decode ==="
+  echo "=== 7/8 VAE decode ==="
   timeout 1200 python scripts/bench_vae.py --batch 8 --size 512 \
     --out "$OUT/bench_vae.json" | tail -4
   check "$OUT/bench_vae.json" value
+  echo "=== 8/8 serving e2e (pipelined micro-batching server) ==="
+  timeout 3000 python scripts/bench_serve.py --size 512 --batch 8 \
+    --batches 3 --out "$OUT/bench_serve.json" | tail -2
+  check "$OUT/bench_serve.json" value
   if [ -s "$FAILFILE" ]; then
     echo "BENCH-SUITE-FAILED: invalid artifacts:"; cat "$FAILFILE"
   else
