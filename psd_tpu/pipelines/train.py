@@ -48,6 +48,9 @@ def build_argparser():
     p.add_argument("--fsdp", type=int, default=1)
     p.add_argument("--vae-params", type=str, default=None, help=".npz ported VAE")
     p.add_argument("--clip-params", type=str, default=None, help=".npz ported CLIP")
+    from .common import add_profile_arg
+
+    add_profile_arg(p)
     return p
 
 
@@ -236,18 +239,38 @@ def main(argv=None):
 
     print(f"Training: {total_steps} steps, {steps_per_epoch} steps/epoch, "
           f"mesh={dict(mesh.shape)}")
+    # --profile: jax.profiler trace over the run (pair with --max-steps to
+    # bound the trace) + per-phase wall-clock report at exit (SURVEY §5)
+    import contextlib
+
+    from ..utils.profiling import PhaseTimer, trace_if
+
+    timer = PhaseTimer()
+    prof_stack = contextlib.ExitStack()
+    if args.profile:
+        prof_stack.enter_context(
+            trace_if(str(out_dir / "trace"), enabled=True))
     done = False
+    t_iter = time.perf_counter()
     while not done:
         for batch in loader:
+            if args.profile:
+                timer.totals["data"] += time.perf_counter() - t_iter
+                timer.counts["data"] += 1
             images = jnp.asarray(batch["image"])
             clip_images = jnp.asarray(batch["clip_image"])
             labels = jnp.asarray(batch["label"])
             enc_key = jax.random.fold_in(jax.random.PRNGKey(7), step)
-            latents, clip_feats = encode_batch(images, clip_images, enc_key)
+            with timer.phase("encode"):
+                latents, clip_feats = encode_batch(images, clip_images, enc_key)
             dev_batch = shard_batch(mesh, {
                 "latents": latents, "labels": labels, "clip_feats": clip_feats,
             })
-            state, metrics = step_fn(state, dev_batch, train_rng)
+            with timer.phase("train_step"):
+                state, metrics = step_fn(state, dev_batch, train_rng)
+                if args.profile:
+                    # sync: attribute device time to the step, not the log
+                    np.asarray(metrics["loss"])
             step += 1
             if step % log_every == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -265,18 +288,24 @@ def main(argv=None):
                 print(f"step {step}: loss={m['loss']:.4f} "
                       f"({m['img_per_sec']:.1f} img/s)")
             if step % steps_per_epoch == 0:
-                ckpt.save(step, jax.device_get(state))
+                with timer.phase("checkpoint"):
+                    ckpt.save(step, jax.device_get(state))
                 epoch = step // steps_per_epoch
                 if (val_ds is not None
                         and epoch % cfg.training.check_val_every_n_epochs == 0):
-                    run_validation(state, epoch, step)
+                    with timer.phase("validation"):
+                        run_validation(state, epoch, step)
             if step >= total_steps:
                 done = True
                 break
+            t_iter = time.perf_counter()
+    prof_stack.close()
     if ckpt.latest_step() != step:
         ckpt.save(step, jax.device_get(state), force=True)
     ckpt.wait()
     logger.close()
+    if args.profile:
+        print(f"[profile] trace → {out_dir / 'trace'}\n{timer.report()}")
     print(f"Done at step {step}; checkpoints in {out_dir / 'checkpoints'}")
     return state
 
