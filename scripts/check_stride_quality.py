@@ -53,9 +53,14 @@ import numpy as np
 def parse_variant(tok: str) -> dict:
     v = {"tome": 0.0, "tome_mode": "branch", "stride": 1,
          "cache_mode": "encoder", "sampler": "ddim", "steps": None,
-         "name": tok}
+         "vae_quant": "none", "name": tok}
     for part in tok.split("+"):
-        if part.startswith("dpm"):
+        if part == "int8":
+            # W8A8 VAE-decoder resblock convs (models/vae.py quant="int8");
+            # latent-space tables ignore it, the distribution gate decodes
+            # each variant with its own VAE path
+            v["vae_quant"] = "int8"
+        elif part.startswith("dpm"):
             v["sampler"] = "dpm"
             v["steps"] = int(part[3:])
         elif part.startswith("tomeb"):

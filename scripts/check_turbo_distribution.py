@@ -14,12 +14,17 @@ arbiter the reference uses, evaluation_pipeline.py:577-701):
   3. compute FID (InceptionV3 pool features) and CMMD (CLIP embeddings,
      multi-sigma RBF unbiased MMD^2) between the exact set and each
      variant's set;
-  4. report a NOISE FLOOR — exact vs exact with different seeds — so each
-     variant's distance can be read against pure sampling variance at this
-     sample count;
+  4. report a NOISE FLOOR — pairwise distances among fresh-seed exact
+     sets — so each variant's distance can be read against pure sampling
+     variance at this sample count;
   5. score DPM variants BOTH vs exact DDIM and vs converged DPM (dpm50),
      separating "solver choice" from "step-count degradation" (VERDICT r3
-     missing #2: DPM-25 must be compared against its own converged limit).
+     missing #2: DPM-25 must be compared against its own converged limit);
+  6. repeat every matched comparison --repeats times with fresh seed bases
+     and report mean±std, so each row carries an error bar (VERDICT r4 #3).
+
+Variant tokens are check_stride_quality's plus `int8` (W8A8 VAE-decoder
+resblock convs — the decode runs through the variant's own VAE path).
 
 Backbone caveat (environmental): no pretrained Inception/CLIP weights
 exist in this image, so the backbones are REAL-flax-init random networks
@@ -62,10 +67,14 @@ def main() -> None:
     ap.add_argument("--images", type=int, default=64,
                     help="images per set (rounded down to a batch multiple)")
     ap.add_argument("--train-steps", type=int, default=500)
+    ap.add_argument("--repeats", type=int, default=3,
+                    help="matched generation repeats per variant (fresh "
+                         "seed base each): rows report mean±std so every "
+                         "distance carries an error bar (VERDICT r4 #3)")
     ap.add_argument("--variants", type=str,
-                    default="dpm50,dpm25,dpm20,tome0.5,tomeb0.5,deep5,"
-                            "tome0.5+deep5,tomeb0.5+deep5,dpm25+deep5,"
-                            "dpm25+tome0.5+deep5,dpm25+tomeb0.5+deep5")
+                    default="dpm50,dpm25,tome0.5,deep3,deep5,enc2,enc3,"
+                            "int8,tome0.5+deep5,dpm25+tome0.5+deep5,"
+                            "dpm25+tome0.5+deep5+int8")
     ap.add_argument("--out", type=str, default=None)
     args = ap.parse_args()
     variants = [parse_variant(t) for t in args.variants.split(",")]
@@ -89,13 +98,15 @@ def main() -> None:
 
     models: dict = {}
 
-    def get_model(tome: float, tome_mode: str = "branch") -> DADD:
-        key = (tome, tome_mode)
+    def get_model(tome: float, tome_mode: str = "branch",
+                  vae_quant: str = "none") -> DADD:
+        key = (tome, tome_mode, vae_quant)
         if key not in models:
             core_cfg = core_config_from(cfg, remat=False, dtype=jnp.bfloat16,
                                         tome_ratio=tome, tome_mode=tome_mode)
             models[key] = DADD(cfg, core_cfg=core_cfg,
-                               vae_cfg=VAEConfig(dtype=jnp.bfloat16))
+                               vae_cfg=VAEConfig(dtype=jnp.bfloat16,
+                                                 quant=vae_quant))
         return models[key]
 
     base_model = get_model(0.0)
@@ -152,8 +163,10 @@ def main() -> None:
     def gen_set(v: dict, seed_base: int) -> np.ndarray:
         """n_batches batches → (N,H,W,3) images in [0,1]; seeds are the
         batch index offset by seed_base, so sets with equal seed_base are
-        MATCHED across variants."""
-        model = get_model(v["tome"], v.get("tome_mode", "branch"))
+        MATCHED across variants. Decode goes through the VARIANT's VAE
+        path (vae_quant="int8" decodes W8A8 — same param tree)."""
+        model = get_model(v["tome"], v.get("tome_mode", "branch"),
+                          v.get("vae_quant", "none"))
         out = []
         for i in range(n_batches):
             lat = model.sample(
@@ -163,7 +176,7 @@ def main() -> None:
                 steer_scale=1.0, shared_noise=False,
                 encoder_stride=v["stride"], cache_mode=v["cache_mode"],
                 sampler=v.get("sampler", "ddim"))
-            imgs = base_model.decode_latents(
+            imgs = model.decode_latents(
                 vae_params, jnp.asarray(np.asarray(lat), jnp.float32))
             out.append(np.asarray(imgs, np.float32))
         return np.concatenate(out, axis=0)
@@ -190,15 +203,38 @@ def main() -> None:
 
     exact_v = {"name": "exact", "tome": 0.0, "tome_mode": "branch",
                "stride": 1, "cache_mode": "encoder", "sampler": "ddim",
-               "steps": None}
-    t0 = time.perf_counter()
-    print("generating exact set...", flush=True)
-    f_exact = feats_of(gen_set(exact_v, 100))
-    print(f"exact set done ({time.perf_counter() - t0:.0f}s)", flush=True)
-    # noise floor: same sampler/config, different seeds
-    f_exact2 = feats_of(gen_set(exact_v, 500))
-    floor = dist(f_exact, f_exact2)
-    print(f"noise floor (exact vs exact, fresh seeds): {floor}", flush=True)
+               "steps": None, "vae_quant": "none"}
+    R = max(args.repeats, 1)
+    seed_bases = [100 + 1000 * r for r in range(R)]
+
+    # R matched exact sets (one per repeat) + 1 extra for the noise floor
+    f_exact = []
+    for r, sb in enumerate(seed_bases):
+        t0 = time.perf_counter()
+        f_exact.append(feats_of(gen_set(exact_v, sb)))
+        print(f"exact set {r + 1}/{R} done "
+              f"({time.perf_counter() - t0:.0f}s)", flush=True)
+    f_floor_extra = feats_of(gen_set(exact_v, 100 + 1000 * R + 433))
+    # noise floor: ALL pairwise distances among the R+1 exact sets (same
+    # config, disjoint seeds). Pairs share sets, so the std is a spread
+    # estimate rather than an independent-sample std — documented as such.
+    all_exact = f_exact + [f_floor_extra]
+    floor_samples = [dist(all_exact[i], all_exact[j])
+                     for i in range(len(all_exact))
+                     for j in range(i + 1, len(all_exact))]
+
+    def stats(samples) -> dict:
+        out = {}
+        for k in ("fid", "cmmd"):
+            vals = np.asarray([s[k] for s in samples], np.float64)
+            out[k] = round(float(vals.mean()), 6)
+            out[k + "_std"] = round(float(vals.std()), 6)
+        out["n"] = len(samples)
+        return out
+
+    floor = stats(floor_samples)
+    print(f"noise floor (pairwise among {len(all_exact)} exact sets): "
+          f"{floor}", flush=True)
     # Signal check: a KNOWN-different distribution (uniform noise images)
     # at the same sample count. If this is not well above the noise floor,
     # the backbone/metric pair cannot discriminate here and the per-variant
@@ -207,7 +243,7 @@ def main() -> None:
         jax.random.uniform(jax.random.PRNGKey(999),
                            (n_batches * args.batch, args.size, args.size, 3)),
         np.float32)
-    signal = dist(f_exact, feats_of(noise_imgs))
+    signal = dist(f_exact[0], feats_of(noise_imgs))
     print(f"signal check (exact vs uniform noise): {signal}", flush=True)
 
     rows = []
@@ -219,8 +255,8 @@ def main() -> None:
     if any(v.get("sampler") == "dpm" for v in variants):
         dpm50_v = next((v for v in variants if v["name"] == "dpm50"), None)
         dpm50_v = dpm50_v or parse_variant("dpm50")
-        print("generating converged-DPM (dpm50) baseline set...", flush=True)
-        f_dpm50 = feats_of(gen_set(dpm50_v, 100))
+        print("generating converged-DPM (dpm50) baseline sets...", flush=True)
+        f_dpm50 = [feats_of(gen_set(dpm50_v, sb)) for sb in seed_bases]
 
     def table() -> dict:
         return {
@@ -228,6 +264,7 @@ def main() -> None:
             "exact_steps": args.steps,
             "size": args.size,
             "images_per_set": n_batches * args.batch,
+            "repeats": R,
             "weights": weights_note,
             "backbones": "real-flax-init random (no pretrained weights in "
                          "env; see module docstring)",
@@ -239,16 +276,19 @@ def main() -> None:
 
     for v in variants:
         tv = time.perf_counter()
-        # dpm50's features were already computed for the baseline set above
-        f_v = f_dpm50 if (v["name"] == "dpm50" and f_dpm50 is not None) \
-            else feats_of(gen_set(v, 100))
-        row = {"variant": v["name"], **dist(f_exact, f_v)}
+        # dpm50's features were already computed for the baseline sets above
+        f_vs = f_dpm50 if (v["name"] == "dpm50" and f_dpm50 is not None) \
+            else [feats_of(gen_set(v, sb)) for sb in seed_bases]
+        row = {"variant": v["name"],
+               **stats([dist(f_exact[r], f_vs[r]) for r in range(R)])}
         if v["name"] != "dpm50" and v.get("sampler") == "dpm" \
                 and f_dpm50 is not None:
             # solver-vs-degradation split: distance to CONVERGED DPM
-            d50 = dist(f_dpm50, f_v)
+            d50 = stats([dist(f_dpm50[r], f_vs[r]) for r in range(R)])
             row["fid_vs_dpm50"] = d50["fid"]
+            row["fid_vs_dpm50_std"] = d50["fid_std"]
             row["cmmd_vs_dpm50"] = d50["cmmd"]
+            row["cmmd_vs_dpm50_std"] = d50["cmmd_std"]
         row["gen_s"] = round(time.perf_counter() - tv, 1)
         rows.append(row)
         print(json.dumps(row), flush=True)
