@@ -28,18 +28,29 @@ bench:
 	python bench.py
 
 # every tracked metric as a JSON artifact (headline, turbo quality table,
-# progression p50, train throughput, batch sweep, VAE decode) — TPU only
+# progression p50, train throughput, batch sweep, VAE decode, serving
+# e2e) — TPU only
 bench-suite:
 	bash scripts/run_bench_suite.sh
 
 # re-gate the turbo serving points on the CURRENT weights before enabling
 # them in production (docs/serving.md): per-trajectory table + the
-# distribution-level FID/CMMD gate (exact vs each serving point)
+# distribution-level FID/CMMD gate (exact vs each serving point,
+# mean±std over matched repeats)
 quality-gate:
 	python scripts/check_stride_quality.py --train-steps 500 \
 	  --out bench_turbo_quality.json
 	python scripts/check_turbo_distribution.py --train-steps 500 \
 	  --out bench_turbo_distribution.json
+
+# is the variant ranking stable vs training length? (VERDICT r4 #4)
+gate-stability:
+	python scripts/check_gate_stability.py \
+	  --quality bench_out/bench_turbo_quality.json \
+	            bench_out/bench_turbo_quality_1500.json \
+	  --distribution bench_out/bench_turbo_distribution.json \
+	                 bench_out/bench_turbo_distribution_1500.json \
+	  --out bench_out/gate_stability.json
 
 lint:
 	python -m ruff check psd_tpu tests || true
