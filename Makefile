@@ -39,9 +39,9 @@ bench-suite:
 # mean±std over matched repeats)
 quality-gate:
 	python scripts/check_stride_quality.py --train-steps 500 \
-	  --out bench_turbo_quality.json
+	  --out bench_out/bench_turbo_quality.json
 	python scripts/check_turbo_distribution.py --train-steps 500 \
-	  --out bench_turbo_distribution.json
+	  --out bench_out/bench_turbo_distribution.json
 
 # is the variant ranking stable vs training length? (VERDICT r4 #4)
 gate-stability:
