@@ -58,14 +58,20 @@ MFU_FLOOR_PCT = {
 # line — the headline `value` stays the reference-exact path.
 # steps=25 + sampler="dpm" is DPM-Solver++(2M)'s accepted quality-neutral
 # operating point (arXiv:2211.01095) vs the 50-step DDIM exact baseline.
-# Picked from the TRAINED-WEIGHTS table (bench_turbo_quality.json,
-# synth-trained 500 steps): dpm25+tome0.5+deep5 holds 33.5 dB vs
-# converged DPM at 3.46x ex-VAE; the former block-ToMe point
-# (tome_mode="block") collapses to 16.5 dB on trained weights and is out.
+# Picked from the gate-STABILITY sweep (gate_stability.json, quality +
+# distribution tables at 500 AND 1500 synth-train steps): dpm25+deep5
+# holds >=24 dB vs converged DPM at BOTH training lengths with FID at the
+# run's noise floor, at 2.83x ex-VAE. The round-4 point
+# (dpm25+tome0.5+deep5, 3.46x) was retired by the stability gate: the
+# ToMe x DeepCache composition cliffs to FID 25.8 once weights have 1500
+# steps of structure (each lever alone stays clean — the interaction is
+# the failure; docs/serving.md "Gate stability"). Block-ToMe fell the
+# same way one round earlier (16.5 dB at 500 steps).
 # vae_quant="int8": W8A8 decoder resblock convs in their measured win
 # region (bench_vae.json: 125.4 -> 115.6 ms/batch-8 at 512², 1.084x;
-# quality: 36.75 dB decode PSNR vs bf16 at 512², check_int8_quality --vae).
-TURBO = dict(tome_ratio=0.5, tome_mode="branch",
+# quality: 36.75 dB decode PSNR vs bf16 at 512², check_int8_quality --vae;
+# distribution row below the noise floor at both training lengths).
+TURBO = dict(tome_ratio=0.0, tome_mode="branch",
              encoder_stride=5, cache_mode="deep",
              sampler="dpm", steps=25, vae_quant="int8")
 
